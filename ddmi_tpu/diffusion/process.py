@@ -1,0 +1,338 @@
+"""Gaussian diffusion process: q/p transitions, training losses, and samplers.
+
+TPU-native redesign of the reference DDPM class (diffusion/ddpm.py:76-477):
+
+  * Everything here is a *pure function* of (schedule, params, rng, data); the
+    denoiser is passed in as a callable `model_fn(x, t) -> out` closure.
+  * The ancestral and DDIM sampling loops are `lax.scan`s over precomputed
+    timestep arrays — one compiled program instead of the reference's Python
+    for-loops with tqdm (ddpm.py:293, :348).
+  * "Mixed prediction" (learned per-channel blend of the model output with
+    sqrt(1-acp)*x_t, ddpm.py:152-161, :469-477) is a parameter `mixing_logit`
+    threaded explicitly.
+  * The data-dependent `time_next < 0` branch of DDIM (ddpm.py:353-355)
+    becomes a static-shape `jnp.where` select.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ddmi_tpu.diffusion.schedule import DiffusionSchedule, ddim_times, make_schedule
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Index a (T,) schedule array with per-sample timesteps t (b,), broadcast
+    to an ndim-dimensional batch shape (reference extract_into_tensor,
+    ddpm.py:61-64)."""
+    out = a[t]
+    return out.reshape(out.shape[0], *((1,) * (ndim - 1)))
+
+
+def q_sample(
+    sched: DiffusionSchedule, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward diffusion q(x_t | x_0) sample (ddpm.py:383-386)."""
+    nd = x_start.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * x_start
+        + extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_start_from_noise(sched, x_t, t, noise):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - extract(sched.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_noise_from_start(sched, x_t, t, x0):
+    nd = x_t.ndim
+    return (
+        extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+    ) / extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def get_velocity(sched, sample, noise, t):
+    """Reference's (nonstandard) velocity: sqrt(acp)*noise - sqrt(1-acp)*sample
+    (ddpm.py:219-221)."""
+    nd = sample.ndim
+    return (
+        extract(sched.sqrt_alphas_cumprod, t, nd) * noise
+        - extract(sched.sqrt_one_minus_alphas_cumprod, t, nd) * sample
+    )
+
+
+def q_posterior(sched, x_start, x_t, t):
+    nd = x_t.ndim
+    mean = (
+        extract(sched.posterior_mean_coef1, t, nd) * x_start
+        + extract(sched.posterior_mean_coef2, t, nd) * x_t
+    )
+    var = extract(sched.posterior_variance, t, nd)
+    log_var = extract(sched.posterior_log_variance_clipped, t, nd)
+    return mean, var, log_var
+
+
+def mixing_component(sched, x_noisy, t):
+    """sqrt(1-acp_t) * x_t (ddpm.py:476-477)."""
+    return extract(sched.sqrt_one_minus_alphas_cumprod, t, x_noisy.ndim) * x_noisy
+
+
+def mixed_prediction(
+    model_out: jnp.ndarray,
+    mixing_logit: Optional[jnp.ndarray],
+    mix_comp: jnp.ndarray,
+) -> jnp.ndarray:
+    """coeff = sigmoid(logit); (1-coeff)*mix + coeff*out (ddpm.py:469-474).
+
+    mixing_logit broadcasts over batch/space; reference stores (1,C,1,1) NCHW —
+    here it is (1,1,1,C) for NHWC planes or (1,1,C) for token layouts."""
+    if mixing_logit is None:
+        return model_out
+    coeff = jax.nn.sigmoid(mixing_logit)
+    return (1 - coeff) * mix_comp + coeff * model_out
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """Static diffusion configuration + schedule bundle.
+
+    Construct once per run; all methods are jit-safe pure functions."""
+
+    schedule: DiffusionSchedule
+    parameterization: str = "eps"
+    loss_type: str = "l2"
+    mixed_prediction: bool = True
+    sampling_timesteps: int = 50
+    ddim_sampling_eta: float = 0.0
+    original_elbo_weight: float = 0.0
+    l_simple_weight: float = 1.0
+    clip_denoised: bool = False
+    w: float = 1.0  # CFG guidance weight
+
+    @classmethod
+    def from_config(cls, c) -> "GaussianDiffusion":
+        sched = make_schedule(
+            beta_schedule=c.beta_schedule,
+            timesteps=c.timesteps,
+            linear_start=c.linear_start,
+            linear_end=c.linear_end,
+            cosine_s=c.cosine_s,
+            v_posterior=c.v_posterior,
+            parameterization=c.parameterization,
+        )
+        return cls(
+            schedule=sched,
+            parameterization=c.parameterization,
+            loss_type=c.loss_type,
+            mixed_prediction=c.mixed_prediction,
+            sampling_timesteps=c.sampling_timesteps,
+            ddim_sampling_eta=c.ddim_sampling_eta,
+            original_elbo_weight=c.original_elbo_weight,
+            l_simple_weight=c.l_simple_weight,
+            clip_denoised=c.clip_denoised,
+            w=c.w,
+        )
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.schedule.num_timesteps
+
+    @property
+    def is_ddim_sampling(self) -> bool:
+        return self.sampling_timesteps < self.num_timesteps
+
+
+def _model_out_mixed(gd, model_fn, mixing_logit, x, t):
+    out = model_fn(x, t)
+    if gd.mixed_prediction:
+        out = mixed_prediction(out, mixing_logit, mixing_component(gd.schedule, x, t))
+    return out
+
+
+def p_losses(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> Tuple[jnp.ndarray, dict]:
+    """Training loss (ddpm.py:409-448): per-sample MSE/L1 + lvlb weighting."""
+    sched = gd.schedule
+    x_noisy = q_sample(sched, x_start, t, noise)
+    model_out = _model_out_mixed(gd, model_fn, mixing_logit, x_noisy, t)
+
+    if gd.parameterization == "eps":
+        target = noise
+    elif gd.parameterization == "x0":
+        target = x_start
+        model_out = predict_start_from_noise(sched, x_noisy, t, model_out)
+    elif gd.parameterization == "v":
+        target = get_velocity(sched, x_start, noise, t)
+        model_out = get_velocity(sched, x_start, model_out, t)
+    else:
+        raise NotImplementedError(gd.parameterization)
+
+    err = model_out - target
+    reduce_axes = tuple(range(1, err.ndim))
+    if gd.loss_type == "l2":
+        per_sample = jnp.mean(err**2, axis=reduce_axes)
+    elif gd.loss_type == "l1":
+        per_sample = jnp.mean(jnp.abs(err), axis=reduce_axes)
+    else:
+        raise NotImplementedError(gd.loss_type)
+
+    loss_simple = per_sample.mean() * gd.l_simple_weight
+    loss_vlb = (sched.lvlb_weights[t] * per_sample).mean()
+    loss = loss_simple + gd.original_elbo_weight * loss_vlb
+    return loss, {"loss_simple": loss_simple, "loss_vlb": loss_vlb, "loss": loss}
+
+
+def diffusion_loss(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, dict]:
+    """Sample t ~ U[0,T) and noise, then p_losses (ddpm.py:450-454)."""
+    rng_t, rng_n = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (x_start.shape[0],), 0, gd.num_timesteps)
+    noise = jax.random.normal(rng_n, x_start.shape, x_start.dtype)
+    return p_losses(gd, model_fn, mixing_logit, x_start, t, noise)
+
+
+def model_predictions(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    cond_model_fn: Optional[ModelFn] = None,
+    clip_x_start: bool = False,
+):
+    """eps-hat and x0-hat with optional classifier-free guidance
+    (ddpm.py:303-332).  `model_fn` is the unconditional branch; when
+    `cond_model_fn` is given the output is (1+w)*cond - w*uncond with the
+    mixing blend applied to each branch (ddpm.py:310-317)."""
+    uncond_out = _model_out_mixed(gd, model_fn, mixing_logit, x, t)
+    if cond_model_fn is not None:
+        cond_out = _model_out_mixed(gd, cond_model_fn, mixing_logit, x, t)
+        model_output = (1 + gd.w) * cond_out - gd.w * uncond_out
+    else:
+        model_output = uncond_out
+
+    # All parameterizations funnel through predict_start_from_noise here,
+    # reproducing ddpm.py:319-332 (eps/'v' share the branch; x0 identical).
+    pred_noise = model_output
+    x_start = predict_start_from_noise(gd.schedule, x, t, pred_noise)
+    if clip_x_start:
+        x_start = jnp.clip(x_start, -1.0, 1.0)
+    return pred_noise, x_start
+
+
+def ddim_sample(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    noise: Optional[jnp.ndarray] = None,
+    cond_model_fn: Optional[ModelFn] = None,
+) -> jnp.ndarray:
+    """DDIM sampler as a single lax.scan over (time, time_next) pairs
+    (ddpm.py:334-369)."""
+    sched = gd.schedule
+    eta = gd.ddim_sampling_eta
+    pairs = jnp.asarray(ddim_times(gd.num_timesteps, gd.sampling_timesteps))
+
+    rng, rng_init = jax.random.split(rng)
+    img = jax.random.normal(rng_init, shape) if noise is None else noise
+    batch = shape[0]
+
+    def step(carry, pair):
+        img, rng = carry
+        time, time_next = pair[0], pair[1]
+        t_vec = jnp.full((batch,), time, dtype=jnp.int32)
+        pred_noise, x_start = model_predictions(
+            gd, model_fn, mixing_logit, img, t_vec,
+            cond_model_fn=cond_model_fn, clip_x_start=gd.clip_denoised,
+        )
+
+        alpha = sched.alphas_cumprod[time]
+        # clamp the (unused when time_next<0) index so gather stays in-bounds
+        alpha_next = sched.alphas_cumprod[jnp.maximum(time_next, 0)]
+        sigma = eta * jnp.sqrt(
+            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+        )
+        c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+
+        rng, rng_noise = jax.random.split(rng)
+        step_noise = jax.random.normal(rng_noise, img.shape, img.dtype)
+        img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * step_noise
+        # final step (time_next < 0): return x_start (ddpm.py:353-355)
+        img_next = jnp.where(time_next < 0, x_start, img_next)
+        return (img_next, rng), None
+
+    (img, _), _ = jax.lax.scan(step, (img, rng), pairs)
+    return img
+
+
+def p_sample_loop(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Ancestral sampler as a lax.scan over t = T-1..0 (ddpm.py:283-300)."""
+    sched = gd.schedule
+    rng, rng_init = jax.random.split(rng)
+    img = jax.random.normal(rng_init, shape) if noise is None else noise
+    batch = shape[0]
+    ts = jnp.arange(gd.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+
+    def step(carry, t):
+        img, rng = carry
+        t_vec = jnp.full((batch,), t, dtype=jnp.int32)
+        model_out = _model_out_mixed(gd, model_fn, mixing_logit, img, t_vec)
+        x_recon = predict_start_from_noise(sched, img, t_vec, model_out)
+        if gd.clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean, _, log_var = q_posterior(sched, x_recon, img, t_vec)
+        rng, rng_noise = jax.random.split(rng)
+        z = jax.random.normal(rng_noise, img.shape, img.dtype)
+        nonzero = (t > 0).astype(img.dtype)
+        img_next = mean + nonzero * jnp.exp(0.5 * log_var) * z
+        return (img_next, rng), None
+
+    (img, _), _ = jax.lax.scan(step, (img, rng), ts)
+    return img
+
+
+def sample(
+    gd: GaussianDiffusion,
+    model_fn: ModelFn,
+    mixing_logit: Optional[jnp.ndarray],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    noise: Optional[jnp.ndarray] = None,
+    cond_model_fn: Optional[ModelFn] = None,
+) -> jnp.ndarray:
+    """DDIM when sampling_timesteps < T else ancestral (ddpm.py:371-381)."""
+    if gd.is_ddim_sampling:
+        return ddim_sample(
+            gd, model_fn, mixing_logit, shape, rng, noise, cond_model_fn
+        )
+    return p_sample_loop(gd, model_fn, mixing_logit, shape, rng, noise)

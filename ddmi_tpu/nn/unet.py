@@ -1,0 +1,209 @@
+"""ADM (guided-diffusion) UNet denoiser.
+
+TPU-native redesign of models/ldm/modules/diffusionmodules/openaimodel.py
+(UNetModel :463-793): NHWC, Flax, plain einsum attention (latent grids are
+64x64 -> 4096 tokens max; xformers unnecessary), bfloat16 compute with fp32
+params/softmax, optional remat via `use_checkpoint`.
+
+The triplane variant (UNetModel_Triplane :796-1221, video latents) lives in
+`ddmi_tpu.nn.unet_triplane`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ddmi_tpu.core.config import UNetConfig
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
+    """Sinusoidal timestep embedding (util.py:150-171)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class ResBlock(nn.Module):
+    """Timestep-embedded residual block (openaimodel.py:164-280)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        C = self.out_channels
+        h = nn.GroupNorm(32, epsilon=1e-5, name="norm_in")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(h)
+
+        emb_out = nn.Dense(
+            2 * C if self.use_scale_shift_norm else C,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(jax.nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+            h = h * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+        h = jax.nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            C, (3, 3), padding=1, kernel_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv_out",
+        )(h)
+
+        if x.shape[-1] != C:
+            x = nn.Conv(C, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over flattened spatial tokens (openaimodel.py:283-427).
+    Softmax in fp32 regardless of compute dtype."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        hd = C // nh
+        h = nn.GroupNorm(32, epsilon=1e-5, name="norm")(x)
+        qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(B, H * W, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (
+            hd**-0.5
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
+        out = nn.Conv(
+            C, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
+            name="proj_out",
+        )(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            x.shape[-1], (3, 3), strides=2, padding=1, dtype=self.dtype
+        )(x)
+
+
+class Upsample(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+        return nn.Conv(C, (3, 3), padding=1, dtype=self.dtype)(x)
+
+
+def _num_heads(ch: int, cfg: UNetConfig) -> int:
+    if cfg.num_head_channels != -1:
+        return max(1, ch // cfg.num_head_channels)
+    return max(1, cfg.num_heads)
+
+
+class UNet(nn.Module):
+    """The full denoiser: x (b,h,w,c_in), t (b,) -> (b,h,w,c_out)."""
+
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, *, deterministic: bool = True):
+        c = self.cfg
+        mc = c.model_channels
+        time_embed_dim = mc * 4
+
+        emb = timestep_embedding(t, mc)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense1")(emb)
+        emb = jax.nn.silu(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense2")(emb)
+
+        res_block = ResBlock
+        if c.use_checkpoint:
+            res_block = nn.remat(ResBlock, static_argnums=(3,))
+
+        h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            x.astype(self.dtype)
+        )
+        hs = [h]
+        ds = 1
+        # down path
+        for i_level, mult in enumerate(c.channel_mult):
+            for i_block in range(c.num_res_blocks):
+                h = res_block(
+                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                    name=f"down_{i_level}_{i_block}",
+                )(h, emb, deterministic=deterministic)
+                if ds in c.attention_resolutions:
+                    h = AttentionBlock(
+                        _num_heads(h.shape[-1], c), self.dtype,
+                        name=f"down_attn_{i_level}_{i_block}",
+                    )(h)
+                hs.append(h)
+            if i_level != len(c.channel_mult) - 1:
+                h = Downsample(self.dtype, name=f"downsample_{i_level}")(h)
+                hs.append(h)
+                ds *= 2
+
+        # middle
+        ch = h.shape[-1]
+        h = res_block(
+            ch, c.dropout, c.use_scale_shift_norm, self.dtype, name="mid_block1"
+        )(h, emb, deterministic=deterministic)
+        h = AttentionBlock(_num_heads(ch, c), self.dtype, name="mid_attn")(h)
+        h = res_block(
+            ch, c.dropout, c.use_scale_shift_norm, self.dtype, name="mid_block2"
+        )(h, emb, deterministic=deterministic)
+
+        # up path
+        for i_level, mult in reversed(list(enumerate(c.channel_mult))):
+            for i_block in range(c.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res_block(
+                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                    name=f"up_{i_level}_{i_block}",
+                )(h, emb, deterministic=deterministic)
+                if ds in c.attention_resolutions:
+                    h = AttentionBlock(
+                        _num_heads(h.shape[-1], c), self.dtype,
+                        name=f"up_attn_{i_level}_{i_block}",
+                    )(h)
+            if i_level != 0:
+                h = Upsample(self.dtype, name=f"upsample_{i_level}")(h)
+                ds //= 2
+        assert not hs
+
+        h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(
+            c.out_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros, name="conv_out",
+        )(h.astype(jnp.float32))
+        return h

@@ -1,0 +1,36 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so
+multi-device sharding (pjit/shard_map over a Mesh) is exercised without TPU
+hardware — the standard JAX trick (SURVEY.md §4).
+
+NB: this image boots an `axon` TPU PJRT plugin via sitecustomize and forces
+jax_platforms='axon,cpu', so plain env vars are not enough — we must override
+the config knob itself before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0)
