@@ -1,0 +1,107 @@
+"""CLI entry: `python -m ddmi_tpu.cli.main --exp {d2c-vae,ldm} --configs <yaml>`.
+
+Same public surface as the reference CLI (main.py:54-65) with the same YAML
+schema; `data.mode` in {train, eval, gen} selects behavior (exp/stage.py:318).
+Multi-host TPU boot happens automatically when JAX detects a multi-process
+environment (`jax.distributed.initialize`)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ddmi_tpu.core.config import load_config
+
+
+def build_dataset(cfg, train: bool = True):
+    from ddmi_tpu.data import ImageFolderDataset, SyntheticImages
+
+    d = cfg.data
+    root = d.data_dir if train else d.test_data_dir
+    if d.dataset == "synthetic":
+        return SyntheticImages(d.batch_size, resolution=512)
+    if cfg.data.domain == "image":
+        return ImageFolderDataset(
+            root,
+            d.batch_size if train else d.test_batch_size,
+            resolution=512 if train else 256,
+            random_flip=train,
+            num_processes=jax.process_count(),
+            process_index=jax.process_index(),
+        )
+    if cfg.data.domain == "video":
+        from ddmi_tpu.data.video import VideoFrameFolderDataset
+
+        return VideoFrameFolderDataset(
+            root, d.batch_size if train else d.test_batch_size,
+            frames=d.frames, resolution=256,
+        )
+    if cfg.data.domain == "occupancy":
+        from ddmi_tpu.data.shapenet import ShapeNetOccupancyDataset
+
+        return ShapeNetOccupancyDataset(
+            root, d.batch_size, split="train" if train else "test"
+        )
+    if cfg.data.domain == "nerf":
+        from ddmi_tpu.data.nerf import NeRFShapeNetDataset
+
+        return NeRFShapeNetDataset(root, d.batch_size, train=train)
+    raise NotImplementedError(cfg.data.domain)
+
+
+def build_pipeline(cfg):
+    if cfg.data.domain == "image":
+        from ddmi_tpu.domains.image import ImagePipeline
+
+        return ImagePipeline(cfg)
+    if cfg.data.domain == "video":
+        from ddmi_tpu.domains.video import VideoPipeline
+
+        return VideoPipeline(cfg)
+    if cfg.data.domain == "occupancy":
+        from ddmi_tpu.domains.occupancy import OccupancyPipeline
+
+        return OccupancyPipeline(cfg)
+    if cfg.data.domain == "nerf":
+        from ddmi_tpu.domains.nerf import NeRFPipeline
+
+        return NeRFPipeline(cfg)
+    raise NotImplementedError(cfg.data.domain)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ddmi_tpu")
+    p.add_argument("--exp", choices=["d2c-vae", "ldm"], required=True)
+    p.add_argument("--configs", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.configs, exp=args.exp, seed=args.seed)
+
+    from ddmi_tpu.core.trainer import Trainer
+
+    pipe = build_pipeline(cfg)
+    mode = cfg.data.mode
+
+    if mode == "gen":
+        trainer = Trainer(cfg, pipe, build_dataset(cfg, train=False))
+        trainer.generate()
+        return
+
+    train_data = build_dataset(cfg, train=True)
+    try:
+        test_data = build_dataset(cfg, train=False)
+    except (FileNotFoundError, NotImplementedError):
+        test_data = None
+    trainer = Trainer(cfg, pipe, train_data, test_data)
+
+    if args.exp == "d2c-vae":
+        trainer.train_stage1(resume=cfg.model.resume)
+    else:
+        s1 = trainer.load_stage1()
+        trainer.train_stage2(s1.params, resume=cfg.model.resume)
+
+
+if __name__ == "__main__":
+    main()

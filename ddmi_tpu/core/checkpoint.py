@@ -1,0 +1,49 @@
+"""Checkpoint / resume via Orbax.
+
+Replaces the reference's flat torch.save dicts (tools/d2c_vae/image.py:117-133,
+tools/ldm/image.py:104-119) with async Orbax checkpointing of the train-state
+pytree; the logical contents match (step, params, optimizer, EMA, SN state).
+Writes happen once per save under SPMD (Orbax coordinates multi-host writes;
+the reference gates on rank 0)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Keeps `model-{step}` checkpoints plus a rolling `last` alias,
+    mirroring the reference's model-{step}.pt / model-last.pt layout."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3, prefix: str = "model"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.prefix = prefix
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        )
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, prefix), options=options
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,350 @@
+"""Image domain: D2C-VAE stage-1 and LDM stage-2 pipelines.
+
+TPU-native redesign of tools/d2c_vae/image.py + tools/ldm/image.py: the eight
+near-duplicate reference Trainer classes collapse into pure train-step
+functions over explicit state pytrees; the generic loop lives in
+ddmi_tpu.core.trainer.  Everything here jits: multiscale augmentation is
+lax.switch (core/coords.py), sampling is a lax.scan DDIM + decoder + INR
+render in ONE compiled program (the reference runs a Python loop then
+separate decode/render kernels, tools/ldm/image.py:226-249).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ddmi_tpu.core.config import Config
+from ddmi_tpu.core.coords import (
+    get_scale_injection,
+    linear_kl_coeff,
+    multiscale_image_transform,
+    pixel_center_grid,
+    resize_antialias,
+    symmetrize,
+    unsymmetrize,
+)
+from ddmi_tpu.core.ema import ema_update
+from ddmi_tpu.core.sn_reg import (
+    init_sn_state,
+    norm_scale_loss,
+    spectral_norm_loss,
+)
+from ddmi_tpu.diffusion.process import GaussianDiffusion, ddim_sample, diffusion_loss
+from ddmi_tpu.ops.resample import pixel_center_lin
+from ddmi_tpu.nn.inr import INRImage
+from ddmi_tpu.nn.unet import UNet
+from ddmi_tpu.nn.vae import Autoencoder
+
+
+class Stage1State(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any          # {'vae': ..., 'mlp': ...}
+    opt_state: Any
+    sn_state: Any
+
+
+class Stage2State(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any          # {'unet': ..., 'mixing_logit': ...}
+    ema_params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class ImagePipeline:
+    """Model bundle + pure train/sample functions for the image domain."""
+
+    cfg: Config
+    perceptual_fn: Optional[Callable] = None  # (target, output)->(b,) LPIPS
+
+    def __post_init__(self):
+        m = self.cfg.model
+        self.vae = Autoencoder(m.ddconfig, embed_dim=m.embed_dim)
+        self.mlp = INRImage(m.mlpconfig)
+        dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32
+        self.unet = UNet(m.unetconfig, dtype=dtype)
+        self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
+        self.lc = m.lossconfig
+        self.anchor = m.ddconfig.resolution  # 256
+
+    # ---------------------------------------------------------------- stage 1
+
+    def init_stage1(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage1State:
+        m = self.cfg.model
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        res = self.anchor
+        x = jnp.zeros((1, res, res, m.ddconfig.in_channels))
+        coords = pixel_center_grid(res).reshape(1, res * res, 2)
+        hdbf_shapes = self._hdbf_shapes(1)
+        vae_params = self.vae.init({"params": r1}, x, r2)
+        mlp_params = self.mlp.init(
+            {"params": r3, "noise": r4},
+            coords,
+            [jnp.zeros(s) for s in hdbf_shapes],
+            1.0,
+        )
+        params = {"vae": vae_params["params"], "mlp": mlp_params["params"]}
+        sn_state = init_sn_state(params["vae"], jax.random.PRNGKey(7))
+        self._stage1_total_iters = steps_per_epoch * self.lc.epochs
+        tx = self.stage1_optimizer(steps_per_epoch)
+        return Stage1State(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            sn_state=sn_state,
+        )
+
+    def _hdbf_shapes(self, b: int):
+        c = self.cfg.model.ddconfig
+        shapes = []
+        num_res = len(c.ch_mult)
+        curr = c.resolution // 2 ** (num_res - 1)
+        for _ in reversed(range(num_res)):
+            if curr in c.hdbf_resolutions:
+                shapes.append((b, curr, curr, c.out_ch))
+            curr *= 2
+        shapes.append((b, c.resolution, c.resolution, c.out_ch))
+        return shapes
+
+    def stage1_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        """AdamW + linear warmup + cosine decay + grad accumulation
+        (reference: tools/d2c_vae/image.py:61-88, :165-171)."""
+        lc = self.lc
+        accum = max(1, lc.gradient_accumulate_every)
+        total = steps_per_epoch * lc.epochs // accum
+        warmup = steps_per_epoch * lc.warmup_epochs // accum
+        if lc.lr_scheduler:
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, self.cfg.model.lr, max(warmup, 1), max(total, 2)
+            )
+        else:
+            sched = optax.linear_schedule(
+                0.0, self.cfg.model.lr, max(warmup, 1)
+            )
+        tx = optax.adamw(sched, weight_decay=0.0)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    def stage1_loss(self, params, sn_state, x, rng, step):
+        """Multiscale recon + KL(annealed) + LPIPS + SN-reg
+        (tools/d2c_vae/image.py:177-233)."""
+        lc = self.lc
+        rng_ms, rng_post, rng_noise = jax.random.split(rng, 3)
+        x = symmetrize(x)
+        target, coords, scale, y = multiscale_image_transform(
+            x, rng_ms, self.anchor, lc.multiscale
+        )
+        b, res = target.shape[0], target.shape[1]
+
+        posterior = self.vae.apply(
+            {"params": params["vae"]}, y, method=self.vae.encode
+        )
+        z = posterior.sample(rng_post)
+        hdbf = self.vae.apply(
+            {"params": params["vae"]}, z, method=self.vae.decode
+        )
+        out_tok = self.mlp.apply(
+            {"params": params["mlp"]},
+            coords.reshape(1, res * res, 2),
+            hdbf,
+            scale,
+            rngs={"noise": rng_noise},
+        )
+        output = out_tok.reshape(b, res, res, -1)
+
+        kld = posterior.kl().mean()
+        total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
+        if lc.kl_anneal:
+            kl_coeff = linear_kl_coeff(
+                step,
+                lc.kl_anneal_portion * total_iters,
+                lc.kl_const_portion * total_iters,
+                lc.kl_const_coeff,
+                lc.kl_max_coeff,
+            )
+        else:
+            kl_coeff = jnp.float32(lc.kl_max_coeff)
+
+        recon = jnp.abs(output - target).sum(axis=(1, 2, 3)).mean()
+        loss = recon + kl_coeff * kld
+
+        if self.perceptual_fn is not None:
+            p_loss = self.perceptual_fn(target, output).mean()
+            loss = loss + lc.perceptual_weight * p_loss
+        else:
+            p_loss = jnp.float32(0.0)
+
+        new_sn_state = sn_state
+        sn = jnp.float32(0.0)
+        if lc.sn_reg:
+            sn, new_sn_state = spectral_norm_loss(params["vae"], sn_state)
+            sn = sn + norm_scale_loss(params["vae"])
+            if lc.sn_reg_weight_decay_anneal:
+                wdn = jnp.exp(
+                    (1.0 - kl_coeff) * jnp.log(lc.sn_reg_weight_decay_init)
+                    + kl_coeff * jnp.log(lc.sn_reg_weight_decay)
+                )
+            else:
+                wdn = lc.sn_reg_weight_decay
+            loss = loss + sn * wdn
+
+        metrics = {
+            "loss": loss,
+            "recon": recon,
+            "kl": kld,
+            "kl_coeff": kl_coeff,
+            "lpips": p_loss,
+            "sn": sn,
+        }
+        return loss, (metrics, new_sn_state)
+
+    def stage1_train_step(self, tx, state: Stage1State, x, rng):
+        (_, (metrics, sn_state)), grads = jax.value_and_grad(
+            self.stage1_loss, has_aux=True
+        )(state.params, state.sn_state, x, rng, state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                sn_state=sn_state,
+            ),
+            metrics,
+        )
+
+    def reconstruct(self, params, x, resolution: Optional[int] = None, rng=None):
+        """Deterministic reconstruction at arbitrary resolution (rFID path,
+        evals/eval.py:77-131: posterior.sample -> decode -> render)."""
+        res = resolution or self.anchor
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng_post, rng_noise = jax.random.split(rng)
+        y = jnp.clip(resize_antialias(symmetrize(x), self.anchor), -1, 1)
+        posterior = self.vae.apply({"params": params["vae"]}, y, method=self.vae.encode)
+        z = posterior.sample(rng_post)
+        hdbf = self.vae.apply({"params": params["vae"]}, z, method=self.vae.decode)
+        si = get_scale_injection(res, self.anchor)
+        lin = pixel_center_lin(res)
+        out = self.mlp.apply(
+            {"params": params["mlp"]}, None, hdbf, si, grid_1d=(lin, lin),
+            rngs={"noise": rng_noise},
+        )
+        img = out.reshape(x.shape[0], res, res, -1)
+        return unsymmetrize(jnp.clip(img, -1, 1))
+
+    # ---------------------------------------------------------------- stage 2
+
+    def init_stage2(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage2State:
+        m = self.cfg.model
+        r1, r2 = jax.random.split(rng)
+        u = m.unetconfig
+        x = jnp.zeros((1, u.image_size, u.image_size, u.in_channels))
+        unet_params = self.unet.init({"params": r1}, x, jnp.zeros((1,), jnp.int32))
+        params = {
+            "unet": unet_params["params"],
+            "mixing_logit": jnp.full(
+                (1, 1, 1, m.ddpmconfig.channels),
+                m.ddpmconfig.mixed_init,
+                jnp.float32,
+            ),
+        }
+        tx = self.stage2_optimizer()
+        return Stage2State(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+        )
+
+    def stage2_optimizer(self) -> optax.GradientTransformation:
+        """AdamW(lr, wd=0) + grad accumulation (tools/ldm/image.py:61)."""
+        accum = max(1, self.lc.gradient_accumulate_every)
+        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    def encode_latents(self, stage1_params, x, rng):
+        """Frozen stage-1 encode (tools/ldm/image.py:152-158): resize-256,
+        posterior sample, stop_gradient."""
+        y = jnp.clip(resize_antialias(symmetrize(x), self.anchor), -1, 1)
+        posterior = self.vae.apply(
+            {"params": stage1_params["vae"]}, y, method=self.vae.encode
+        )
+        return jax.lax.stop_gradient(posterior.sample(rng))
+
+    def stage2_loss(self, params, stage1_params, x, rng):
+        rng_enc, rng_diff = jax.random.split(rng)
+        z = self.encode_latents(stage1_params, x, rng_enc)
+        model_fn = lambda xt, t: self.unet.apply({"params": params["unet"]}, xt, t)
+        loss, aux = diffusion_loss(
+            self.gd, model_fn, params["mixing_logit"], z, rng_diff
+        )
+        return loss, aux
+
+    def stage2_train_step(self, tx, state: Stage2State, stage1_params, x, rng):
+        (_, aux), grads = jax.value_and_grad(self.stage2_loss, has_aux=True)(
+            state.params, stage1_params, x, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(
+            state.ema_params,
+            params,
+            state.step,
+            beta=self.lc.ema_decay,
+            update_every=self.lc.ema_update_every,
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                ema_params=ema_params,
+                opt_state=opt_state,
+            ),
+            aux,
+        )
+
+    # --------------------------------------------------------------- sampling
+
+    def sample_images(
+        self,
+        ldm_params,
+        stage1_params,
+        rng: jax.Array,
+        batch: int,
+        resolution: Optional[int] = None,
+        noise: Optional[jnp.ndarray] = None,
+    ):
+        """DDIM scan + HDBF decode + INR render, one jittable program
+        (replaces tools/ldm/image.py:226-249 + ddpm.py:334-369)."""
+        m = self.cfg.model
+        res = resolution or self.cfg.data.test_resolution
+        u = m.ddpmconfig
+        shape = (batch, u.image_size, u.image_size, u.channels)
+        rng_s, rng_noise = jax.random.split(rng)
+
+        model_fn = lambda xt, t: self.unet.apply({"params": ldm_params["unet"]}, xt, t)
+        z = ddim_sample(
+            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s, noise=noise
+        )
+        hdbf = self.vae.apply(
+            {"params": stage1_params["vae"]}, z, method=self.vae.decode
+        )
+        si = get_scale_injection(res, self.anchor)
+        lin = pixel_center_lin(res)
+        out = self.mlp.apply(
+            {"params": stage1_params["mlp"]}, None, hdbf, si, grid_1d=(lin, lin),
+            rngs={"noise": rng_noise},
+        )
+        img = out.reshape(batch, res, res, -1)
+        return unsymmetrize(jnp.clip(img, -1.0, 1.0))

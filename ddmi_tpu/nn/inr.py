@@ -28,6 +28,7 @@ from ddmi_tpu.nn.stylegan import (
     ToRGB,
 )
 from ddmi_tpu.ops.grid_sample import grid_sample_2d
+from ddmi_tpu.ops.resample import separable_grid_sample
 
 
 def singleplane_pe(hdbf: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -75,12 +76,39 @@ class INRImage(nn.Module):
     cfg: MLPConfig
 
     @nn.compact
-    def __call__(self, coords: jnp.ndarray, hdbf: List[jnp.ndarray], si=1.0):
+    def __call__(
+        self,
+        coords: Optional[jnp.ndarray],
+        hdbf: List[jnp.ndarray],
+        si=1.0,
+        grid_1d: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        """coords: (b|1, n, 2) arbitrary points, OR grid_1d=(xs, ys) 1D
+        coordinate vectors for a regular grid — the fast path where every
+        grid_sample becomes two MXU matmuls (ops/resample.py); tokens come
+        out y-major (row-major over (ys, xs)), matching
+        pixel_center_grid(...).reshape(n*n)."""
         assert len(hdbf) == 3, "expects a 3-level HDBF pyramid"
         c = self.cfg
         b = hdbf[0].shape[0]
-        if coords.shape[0] == 1 and b > 1:
-            coords = jnp.broadcast_to(coords, (b,) + coords.shape[1:])
+
+        if grid_1d is not None:
+            xs, ys = grid_1d
+            n = xs.shape[0] * ys.shape[0]
+
+            def pe(plane):
+                out = separable_grid_sample(
+                    plane, xs, ys, align_corners=False, padding_mode="border"
+                )
+                return out.reshape(b, n, plane.shape[-1])
+
+        else:
+            if coords.shape[0] == 1 and b > 1:
+                coords = jnp.broadcast_to(coords, (b,) + coords.shape[1:])
+            n = coords.shape[1]
+
+            def pe(plane):
+                return singleplane_pe(plane, coords)
 
         si = jnp.asarray(si, jnp.float32)
         scale_inj = jnp.broadcast_to(si.reshape(-1), (b,))
@@ -91,11 +119,11 @@ class INRImage(nn.Module):
         style = jax.nn.gelu(style)
         style = nn.Dense(c.ch)(style)
 
-        scale_pix = jnp.ones_like(coords) * si  # (b, n, in_ch)
+        scale_pix = jnp.full((b, n, c.in_ch), si, hdbf[0].dtype)
 
-        x = jnp.concatenate([singleplane_pe(hdbf[0], coords), scale_pix], -1)
-        x_m = jnp.concatenate([singleplane_pe(hdbf[1], coords), scale_pix], -1)
-        x_h = jnp.concatenate([singleplane_pe(hdbf[2], coords), scale_pix], -1)
+        x = jnp.concatenate([pe(hdbf[0]), scale_pix], -1)
+        x_m = jnp.concatenate([pe(hdbf[1]), scale_pix], -1)
+        x_h = jnp.concatenate([pe(hdbf[2]), scale_pix], -1)
 
         x = StyledResBlock(c.ch, 1, name="net_res1")(x, style)
         x = jnp.concatenate([x, x_m], -1)

@@ -1,0 +1,85 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's HuggingFace Accelerate/DDP layer
+(SURVEY.md §2.10): a `jax.sharding.Mesh` with ('data', 'fsdp', 'model') axes.
+DP is a NamedSharding on the batch axis — gradient all-reduce happens inside
+the compiled program via XLA collectives over ICI, not NCCL.  `fsdp` shards
+parameters (ZeRO-3-style, an extension beyond reference parity, SURVEY §2.10
+note), `model` is reserved for tensor-parallel attention/conv channels.
+
+Multi-host boot: call `jax.distributed.initialize()` before `make_mesh` (the
+SPMD analogue of Accelerator() process-group init)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    data: int = -1
+    fsdp: int = 1
+    model: int = 1
+
+
+def make_mesh(
+    spec: MeshSpec | None = None, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    spec = spec or MeshSpec()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    data = spec.data if spec.data > 0 else n // (spec.fsdp * spec.model)
+    assert data * spec.fsdp * spec.model == n, (
+        f"mesh {data}x{spec.fsdp}x{spec.model} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, spec.fsdp, spec.model)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = None) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device_put a host batch pytree with the batch axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _fsdp_spec_for(x: jax.ShapeDtypeStruct, fsdp_size: int) -> P:
+    """Shard the largest divisible axis of a parameter over 'fsdp'."""
+    if fsdp_size <= 1 or x.ndim == 0:
+        return P()
+    sizes = list(x.shape)
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    for i in order:
+        if sizes[i] % fsdp_size == 0 and sizes[i] >= fsdp_size:
+            spec = [None] * len(sizes)
+            spec[i] = FSDP_AXIS
+            return P(*spec)
+    return P()
+
+
+def shard_params_fsdp(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for params: largest-axis sharding over 'fsdp',
+    replicated over 'data'/'model'."""
+    fsdp_size = mesh.shape[FSDP_AXIS]
+
+    def to_sharding(x):
+        return NamedSharding(mesh, _fsdp_spec_for(x, fsdp_size))
+
+    return jax.tree_util.tree_map(to_sharding, params)
