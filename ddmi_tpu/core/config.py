@@ -17,10 +17,23 @@ import yaml
 
 
 def _filter_kwargs(cls, d: Dict[str, Any]) -> Dict[str, Any]:
-    names = {f.name for f in dataclasses.fields(cls)}
-    known = {k: v for k, v in d.items() if k in names}
-    extra = {k: v for k, v in d.items() if k not in names}
-    if "extra" in names:
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    known = {}
+    extra = {k: v for k, v in d.items() if k not in fields}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        # YAML 1.1 parses '1e-4' as a string — coerce by declared field type
+        t = fields[k].type
+        if isinstance(v, str):
+            if t in (float, "float"):
+                v = float(v)
+            elif t in (int, "int"):
+                v = int(v)
+        elif t in (float, "float") and isinstance(v, int):
+            v = float(v)
+        known[k] = v
+    if "extra" in fields:
         known["extra"] = extra
     return known
 
@@ -72,6 +85,10 @@ class DDConfig:
     inter_attn_resolutions: Tuple[int, ...] = ()
     dropout: float = 0.0
     attn_type: str = "vanilla"
+    # video (VIT autoencoder) extras
+    timesformer_channels: int = 384
+    patch_size: int = 8
+    splits: int = 1
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

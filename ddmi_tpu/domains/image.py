@@ -233,11 +233,7 @@ class ImagePipeline:
         z = posterior.sample(rng_post)
         hdbf = self.vae.apply({"params": params["vae"]}, z, method=self.vae.decode)
         si = get_scale_injection(res, self.anchor)
-        lin = pixel_center_lin(res)
-        out = self.mlp.apply(
-            {"params": params["mlp"]}, None, hdbf, si, grid_1d=(lin, lin),
-            rngs={"noise": rng_noise},
-        )
+        out = self._render_grid(params["mlp"], hdbf, res, si, rng_noise)
         img = out.reshape(x.shape[0], res, res, -1)
         return unsymmetrize(jnp.clip(img, -1, 1))
 
@@ -316,6 +312,34 @@ class ImagePipeline:
 
     # --------------------------------------------------------------- sampling
 
+    def _render_grid(
+        self, mlp_params, hdbf, res: int, si, rng, chunk_tokens: int = 1 << 15
+    ):
+        """Tiled INR render at a regular res x res grid: lax.map over row
+        chunks bounds peak memory (the whole 256^2+ token set would otherwise
+        hold ~10 activation tensors live at once; chunking replaces the
+        reference's host-side netchunk loops, SURVEY.md §5)."""
+        lin = pixel_center_lin(res)
+        rows_per = max(1, min(res, chunk_tokens // res))
+        while res % rows_per:
+            rows_per -= 1
+        n_chunks = res // rows_per
+        ys_chunks = lin.reshape(n_chunks, rows_per)
+        rngs = jax.random.split(rng, n_chunks)
+
+        def render(args):
+            ys, r = args
+            out = self.mlp.apply(
+                {"params": mlp_params}, None, hdbf, si, grid_1d=(lin, ys),
+                rngs={"noise": r},
+            )
+            return out  # (b, rows_per*res, c)
+
+        out = jax.lax.map(render, (ys_chunks, rngs))
+        b = out.shape[1]
+        out = jnp.moveaxis(out, 0, 1).reshape(b, res * res, -1)
+        return out
+
     def sample_images(
         self,
         ldm_params,
@@ -341,10 +365,6 @@ class ImagePipeline:
             {"params": stage1_params["vae"]}, z, method=self.vae.decode
         )
         si = get_scale_injection(res, self.anchor)
-        lin = pixel_center_lin(res)
-        out = self.mlp.apply(
-            {"params": stage1_params["mlp"]}, None, hdbf, si, grid_1d=(lin, lin),
-            rngs={"noise": rng_noise},
-        )
+        out = self._render_grid(stage1_params["mlp"], hdbf, res, si, rng_noise)
         img = out.reshape(batch, res, res, -1)
         return unsymmetrize(jnp.clip(img, -1.0, 1.0))

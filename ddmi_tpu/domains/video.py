@@ -1,0 +1,285 @@
+"""Video domain: D2C-VAE stage-1 and triplane-LDM stage-2 pipelines.
+
+TPU-native redesign of tools/d2c_vae/video.py + tools/ldm/video.py.  Latent
+token layout [xy | xt | yt] is pinned in nn/video_vae.py; the stage-2
+denoiser is the TriplaneUNet over that token sequence.  Everything jits;
+video tensors are NTHWC in [0,1] at the pipeline boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ddmi_tpu.core.config import Config
+from ddmi_tpu.core.coords import linear_kl_coeff, symmetrize, unsymmetrize
+from ddmi_tpu.core.ema import ema_update
+from ddmi_tpu.core.sn_reg import init_sn_state, norm_scale_loss, spectral_norm_loss
+from ddmi_tpu.diffusion.process import GaussianDiffusion, ddim_sample, diffusion_loss
+from ddmi_tpu.domains.image import Stage1State, Stage2State
+from ddmi_tpu.nn.inr import INRVideo
+from ddmi_tpu.nn.unet_triplane import TriplaneUNet
+from ddmi_tpu.nn.video_vae import VideoAutoencoder, _cat_planes
+from ddmi_tpu.ops.resample import pixel_center_lin
+
+
+def video_axes(t: int, h: int, w: int):
+    """Regular-grid coordinate axes in [-1,1] for the video INR
+    (convert_to_coord_format_3d endpoints, general_utils.py:38-52)."""
+    lin = lambda n: jnp.linspace(-1.0, 1.0, n)
+    return {"axes": (lin(t), lin(h), lin(w)), "hw": (h, w)}
+
+
+@dataclasses.dataclass
+class VideoPipeline:
+    cfg: Config
+    perceptual_fn: Optional[Callable] = None
+
+    def __post_init__(self):
+        m = self.cfg.model
+        self.frames = self.cfg.data.frames
+        self.vae = VideoAutoencoder(
+            m.ddconfig, embed_dim=m.embed_dim, frames=self.frames
+        )
+        self.mlp = INRVideo(m.mlpconfig)
+        dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32
+        u = m.unetconfig
+        if not u.plane_sizes:
+            r = m.ddconfig.resolution // 8
+            u = dataclasses.replace(
+                u, plane_sizes=((r, r), (self.frames, r), (self.frames, r))
+            )
+        self.unet = TriplaneUNet(u, dtype=dtype)
+        self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
+        self.lc = m.lossconfig
+        self.res = m.ddconfig.resolution
+        r = m.ddconfig.resolution // 8
+        self.n_latent_tokens = r * r + 2 * self.frames * r
+
+    # ---------------------------------------------------------------- stage 1
+
+    def init_stage1(self, rng, steps_per_epoch: int = 1000) -> Stage1State:
+        m = self.cfg.model
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x = jnp.zeros((1, self.frames, self.res, self.res, 3))
+        vae_params = self.vae.init({"params": r1}, x, r2)["params"]
+        hdbf = self._dummy_hdbf(1)
+        coords = video_axes(self.frames, self.res, self.res)
+        mlp_params = self.mlp.init({"params": r3}, coords, hdbf)["params"]
+        params = {"vae": vae_params, "mlp": mlp_params}
+        self._stage1_total_iters = steps_per_epoch * self.lc.epochs
+        tx = self.stage1_optimizer(steps_per_epoch)
+        return Stage1State(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            sn_state=init_sn_state(params["vae"], jax.random.PRNGKey(7)),
+        )
+
+    def _dummy_hdbf(self, b):
+        c = self.cfg.model.ddconfig
+        num_res = len(c.ch_mult)
+        curr = c.resolution // 2 ** (num_res - 1)
+        xy, yt, xt = [], [], []
+        for _ in reversed(range(num_res)):
+            if curr in c.hdbf_resolutions:
+                xy.append(jnp.zeros((b, curr, curr, c.out_ch)))
+                yt.append(jnp.zeros((b, self.frames, curr, c.out_ch)))
+                xt.append(jnp.zeros((b, self.frames, curr, c.out_ch)))
+            curr *= 2
+        xy.append(jnp.zeros((b, c.resolution, c.resolution, c.out_ch)))
+        yt.append(jnp.zeros((b, self.frames, c.resolution, c.out_ch)))
+        xt.append(jnp.zeros((b, self.frames, c.resolution, c.out_ch)))
+        return (xy, yt, xt)
+
+    def stage1_optimizer(self, steps_per_epoch: int):
+        lc = self.lc
+        accum = max(1, lc.gradient_accumulate_every)
+        total = steps_per_epoch * lc.epochs // accum
+        warmup = steps_per_epoch * lc.warmup_epochs // accum
+        sched = (
+            optax.warmup_cosine_decay_schedule(
+                0.0, self.cfg.model.lr, max(warmup, 1), max(total, 2)
+            )
+            if lc.lr_scheduler
+            else self.cfg.model.lr
+        )
+        tx = optax.adamw(sched, weight_decay=0.0)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    def stage1_loss(self, params, sn_state, x, rng, step):
+        """Full-clip L1 recon + per-frame LPIPS + summed triplane KL + SN-reg
+        (tools/d2c_vae/video.py:190-242)."""
+        lc = self.lc
+        rng_post, rng_frame = jax.random.split(rng)
+        x = symmetrize(x)  # (b, t, h, w, 3)
+        b, t = x.shape[0], x.shape[1]
+
+        (hdbf, posts) = self.vae.apply(
+            {"params": params["vae"]}, x, rng_post, sample_posterior=True,
+            deterministic=True,
+        )
+        coords = video_axes(t, self.res, self.res)
+        out_tok = self.mlp.apply({"params": params["mlp"]}, coords, hdbf)
+        output = out_tok.reshape(b, t, self.res, self.res, -1)
+
+        recon = jnp.abs(output - x).sum(axis=(1, 2, 3, 4)).mean()
+        kld = sum(p.kl() for p in posts).mean()
+        total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
+        if lc.kl_anneal:
+            kl_coeff = linear_kl_coeff(
+                step, lc.kl_anneal_portion * total_iters,
+                lc.kl_const_portion * total_iters,
+                lc.kl_const_coeff, lc.kl_max_coeff,
+            )
+        else:
+            kl_coeff = jnp.float32(lc.kl_max_coeff)
+        loss = recon + kl_coeff * kld
+
+        if self.perceptual_fn is not None:
+            fi = jax.random.randint(rng_frame, (b,), 0, t)
+            sel = lambda v: jnp.take_along_axis(
+                v, fi.reshape(b, 1, 1, 1, 1), axis=1
+            ).squeeze(1)
+            p_loss = self.perceptual_fn(sel(x), sel(output)).mean()
+            loss = loss + lc.perceptual_weight * p_loss
+        else:
+            p_loss = jnp.float32(0.0)
+
+        new_sn = sn_state
+        sn = jnp.float32(0.0)
+        if lc.sn_reg:
+            sn, new_sn = spectral_norm_loss(params["vae"], sn_state)
+            sn = sn + norm_scale_loss(params["vae"])
+            if lc.sn_reg_weight_decay_anneal:
+                wdn = jnp.exp(
+                    (1 - kl_coeff) * jnp.log(lc.sn_reg_weight_decay_init)
+                    + kl_coeff * jnp.log(lc.sn_reg_weight_decay)
+                )
+            else:
+                wdn = lc.sn_reg_weight_decay
+            loss = loss + sn * wdn
+
+        metrics = {"loss": loss, "recon": recon, "kl": kld,
+                   "kl_coeff": kl_coeff, "lpips": p_loss, "sn": sn}
+        return loss, (metrics, new_sn)
+
+    def stage1_train_step(self, tx, state: Stage1State, x, rng):
+        (_, (metrics, sn_state)), grads = jax.value_and_grad(
+            self.stage1_loss, has_aux=True
+        )(state.params, state.sn_state, x, rng, state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(step=state.step + 1, params=params,
+                          opt_state=opt_state, sn_state=sn_state),
+            metrics,
+        )
+
+    def reconstruct(self, params, x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        xs = symmetrize(x)
+        b, t = xs.shape[0], xs.shape[1]
+        hdbf, _ = self.vae.apply(
+            {"params": params["vae"]}, xs, rng, sample_posterior=True
+        )
+        coords = video_axes(t, self.res, self.res)
+        out = self.mlp.apply({"params": params["mlp"]}, coords, hdbf)
+        vid = out.reshape(b, t, self.res, self.res, -1)
+        return unsymmetrize(jnp.clip(vid, -1, 1))
+
+    # ---------------------------------------------------------------- stage 2
+
+    def init_stage2(self, rng, steps_per_epoch: int = 1000) -> Stage2State:
+        m = self.cfg.model
+        r1, _ = jax.random.split(rng)
+        x = jnp.zeros((1, self.n_latent_tokens, m.ddpmconfig.channels))
+        unet_params = self.unet.init(
+            {"params": r1}, x, jnp.zeros((1,), jnp.int32)
+        )["params"]
+        params = {
+            "unet": unet_params,
+            # token-layout mixing logit (1, 1, C) — reference video branch
+            # (ddpm.py:157-159)
+            "mixing_logit": jnp.full(
+                (1, 1, m.ddpmconfig.channels), m.ddpmconfig.mixed_init, jnp.float32
+            ),
+        }
+        tx = self.stage2_optimizer()
+        return Stage2State(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+        )
+
+    def stage2_optimizer(self):
+        accum = max(1, self.lc.gradient_accumulate_every)
+        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
+    def encode_latents(self, stage1_params, x, rng):
+        """Frozen encode -> sampled [xy|xt|yt] tokens, stop-grad
+        (tools/ldm/video.py:142-154)."""
+        xs = symmetrize(x)
+        posts = self.vae.apply(
+            {"params": stage1_params["vae"]}, xs, method=self.vae.encode
+        )
+        r1, r2, r3 = jax.random.split(rng, 3)
+        xy, yt, xt = (
+            posts[0].sample(r1), posts[1].sample(r2), posts[2].sample(r3)
+        )
+        return jax.lax.stop_gradient(_cat_planes(xy, xt, yt))
+
+    def stage2_loss(self, params, stage1_params, x, rng):
+        rng_enc, rng_diff = jax.random.split(rng)
+        z = self.encode_latents(stage1_params, x, rng_enc)
+        model_fn = lambda xt_, t: self.unet.apply({"params": params["unet"]}, xt_, t)
+        return diffusion_loss(self.gd, model_fn, params["mixing_logit"], z, rng_diff)
+
+    def stage2_train_step(self, tx, state: Stage2State, stage1_params, x, rng):
+        (_, aux), grads = jax.value_and_grad(self.stage2_loss, has_aux=True)(
+            state.params, stage1_params, x, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(
+            state.ema_params, params, state.step,
+            beta=self.lc.ema_decay, update_every=self.lc.ema_update_every,
+        )
+        return (
+            state.replace(step=state.step + 1, params=params,
+                          ema_params=ema_params, opt_state=opt_state),
+            aux,
+        )
+
+    # --------------------------------------------------------------- sampling
+
+    def sample_videos(self, ldm_params, stage1_params, rng, batch: int,
+                      noise=None):
+        """DDIM over latent tokens + triplane decode + voxel INR render, one
+        jittable program (tools/ldm/video.py eval path)."""
+        m = self.cfg.model
+        shape = (batch, self.n_latent_tokens, m.ddpmconfig.channels)
+        model_fn = lambda xt_, t: self.unet.apply(
+            {"params": ldm_params["unet"]}, xt_, t
+        )
+        z = ddim_sample(
+            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng, noise=noise
+        )
+        hdbf = self.vae.apply(
+            {"params": stage1_params["vae"]}, z, method=self.vae.decode
+        )
+        coords = video_axes(self.frames, self.res, self.res)
+        out = self.mlp.apply({"params": stage1_params["mlp"]}, coords, hdbf)
+        vid = out.reshape(batch, self.frames, self.res, self.res, -1)
+        return unsymmetrize(jnp.clip(vid, -1, 1))

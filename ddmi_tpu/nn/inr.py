@@ -174,9 +174,38 @@ def triplane_pe_concat_video(
 ) -> jnp.ndarray:
     """Video-path PE: sample xy/yt/xt planes and broadcast-concat into
     (b, t*h*w, 3c) voxel tokens (general_utils.py:134-146 mode='concat');
-    token order matches the reference reshape (t-major, then h, then w)."""
+    token order matches the reference reshape (t-major, then h, then w).
+
+    coords: either token coords per plane ('xy','yt','xt' of shape (b,n,2))
+    or the fast path 'axes' = (ts, ys, xs) 1D arrays for a regular grid —
+    separable MXU matmuls instead of gathers."""
     xy, yt, xt = planes
     b = xy.shape[0]
+    if "axes" in coords:
+        ts, ys, xs = coords["axes"]
+        t, h, w = ts.shape[0], ys.shape[0], xs.shape[0]
+        c = xy.shape[-1]
+        f_xy = separable_grid_sample(xy, xs, ys, align_corners=True
+                                     ).reshape(b, h * w, -1)
+        # yt/xt planes are stored "transposed": the reference's coord dicts
+        # put the t value in the grid's x slot (general_utils.py:45-50), so
+        # the plane's H axis is indexed by y/x values and W by t values.
+        f_yt = separable_grid_sample(yt, ts, ys, align_corners=True
+                                     ).transpose(0, 2, 1, 3).reshape(b, t * h, -1)
+        f_xt = separable_grid_sample(xt, ts, xs, align_corners=True
+                                     ).transpose(0, 2, 1, 3).reshape(b, t * w, -1)
+        f_xy = f_xy.reshape(b, 1, h, w, c)
+        f_yt = f_yt.reshape(b, t, h, 1, c)
+        f_xt = f_xt.reshape(b, t, 1, w, c)
+        out = jnp.concatenate(
+            [
+                jnp.broadcast_to(f_xy, (b, t, h, w, c)),
+                jnp.broadcast_to(f_yt, (b, t, h, w, c)),
+                jnp.broadcast_to(f_xt, (b, t, h, w, c)),
+            ],
+            axis=-1,
+        )
+        return out.reshape(b, t * h * w, 3 * c)
     f_xy = grid_sample_2d(xy, coords["xy"], align_corners=True)  # (b, h*w, c)
     f_yt = grid_sample_2d(yt, coords["yt"], align_corners=True)  # (b, t*h, c)
     f_xt = grid_sample_2d(xt, coords["xt"], align_corners=True)  # (b, t*w, c)

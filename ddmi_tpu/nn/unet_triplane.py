@@ -1,0 +1,149 @@
+"""Triplane ADM UNet for video latent diffusion.
+
+TPU-native redesign of UNetModel_Triplane (openaimodel.py:796-1221): the
+denoiser input is a 1D token sequence [xy | xt | yt]; every UNet stage runs
+the SAME 2D conv/res/attention weights on each plane, then flattens and
+applies cross-plane 1D multi-head attention (input_attns/mid_attn/
+output_attns).  Downsampling shrinks both axes of every plane (the t axis of
+xt/yt included — parity with the reference's per-plane 2D Downsample)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ddmi_tpu.core.config import UNetConfig
+from ddmi_tpu.nn.attention1d import AttnBlock1D
+from ddmi_tpu.nn.unet import (
+    AttentionBlock,
+    Downsample,
+    ResBlock,
+    Upsample,
+    _num_heads,
+    timestep_embedding,
+)
+
+
+def split_tokens(h, shapes):
+    """(b, n, c) -> three NHWC planes given [(h1,w1),(h2,w2),(h3,w3)]."""
+    b, _, c = h.shape
+    out = []
+    ofs = 0
+    for hh, ww in shapes:
+        out.append(h[:, ofs : ofs + hh * ww].reshape(b, hh, ww, c))
+        ofs += hh * ww
+    return out
+
+
+def cat_tokens(planes):
+    b, c = planes[0].shape[0], planes[0].shape[-1]
+    return jnp.concatenate([p.reshape(b, -1, c) for p in planes], axis=1)
+
+
+class TriplaneUNet(nn.Module):
+    """x: (b, n, c_in) token sequence [xy|xt|yt]; t: (b,) -> (b, n, c_out).
+
+    cfg.plane_sizes = ((s1,s2),(s3,s1),(s3,s2)) — the latent plane shapes
+    (reference size1/size2/size3, openaimodel.py:857-859; sky config
+    32/32/16)."""
+
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond=None, *, deterministic: bool = True):
+        c = self.cfg
+        mc = c.model_channels
+        shapes = [tuple(s) for s in c.plane_sizes]
+        assert len(shapes) == 3, "plane_sizes must give 3 (h,w) pairs"
+
+        emb = timestep_embedding(t, mc)
+        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense1")(emb)
+        emb = jax.nn.silu(emb)
+        emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense2")(emb)
+
+        planes = split_tokens(x.astype(self.dtype), shapes)
+
+        def xattn(planes, name):
+            cur_shapes = [p.shape[1:3] for p in planes]
+            h = AttnBlock1D(num_heads=16, name=name)(cat_tokens(planes))
+            return split_tokens(h, cur_shapes)
+
+        # input stem
+        conv_in = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in")
+        planes = [conv_in(p) for p in planes]
+        skips = [planes]
+        ds = 1
+
+        for i_level, mult in enumerate(c.channel_mult):
+            for i_block in range(c.num_res_blocks):
+                blk = ResBlock(
+                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                    name=f"down_{i_level}_{i_block}",
+                )
+                planes = [blk(p, emb, deterministic=deterministic) for p in planes]
+                if ds in c.attention_resolutions:
+                    attn = AttentionBlock(
+                        _num_heads(planes[0].shape[-1], c), self.dtype,
+                        name=f"down_attn_{i_level}_{i_block}",
+                    )
+                    planes = [attn(p) for p in planes]
+                planes = xattn(planes, f"down_xattn_{i_level}_{i_block}")
+                skips.append(planes)
+            if i_level != len(c.channel_mult) - 1:
+                down = Downsample(self.dtype, name=f"downsample_{i_level}")
+                planes = [down(p) for p in planes]
+                planes = xattn(planes, f"down_xattn_ds_{i_level}")
+                skips.append(planes)
+                ds *= 2
+
+        ch = planes[0].shape[-1]
+        mid1 = ResBlock(ch, c.dropout, c.use_scale_shift_norm, self.dtype,
+                        name="mid_block1")
+        mid_attn = AttentionBlock(_num_heads(ch, c), self.dtype, name="mid_attn")
+        mid2 = ResBlock(ch, c.dropout, c.use_scale_shift_norm, self.dtype,
+                        name="mid_block2")
+        planes = [
+            mid2(mid_attn(mid1(p, emb, deterministic=deterministic)), emb,
+                 deterministic=deterministic)
+            for p in planes
+        ]
+        planes = xattn(planes, "mid_xattn")
+
+        for i_level, mult in reversed(list(enumerate(c.channel_mult))):
+            for i_block in range(c.num_res_blocks + 1):
+                skip = skips.pop()
+                planes = [
+                    jnp.concatenate([p, s], axis=-1)
+                    for p, s in zip(planes, skip)
+                ]
+                blk = ResBlock(
+                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                    name=f"up_{i_level}_{i_block}",
+                )
+                planes = [blk(p, emb, deterministic=deterministic) for p in planes]
+                if ds in c.attention_resolutions:
+                    attn = AttentionBlock(
+                        _num_heads(planes[0].shape[-1], c), self.dtype,
+                        name=f"up_attn_{i_level}_{i_block}",
+                    )
+                    planes = [attn(p) for p in planes]
+                planes = xattn(planes, f"up_xattn_{i_level}_{i_block}")
+            if i_level != 0:
+                up = Upsample(self.dtype, name=f"upsample_{i_level}")
+                planes = [up(p) for p in planes]
+                ds //= 2
+        assert not skips
+
+        norm = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")
+        conv_out = nn.Conv(
+            c.out_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros, name="conv_out",
+        )
+        planes = [
+            conv_out(jax.nn.silu(norm(p)).astype(jnp.float32)) for p in planes
+        ]
+        return cat_tokens(planes)

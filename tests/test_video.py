@@ -1,0 +1,162 @@
+"""Tiny-config smoke tests for the video domain: VAE shapes, INR render,
+stage-1/stage-2 steps, triplane UNet, chunked attention parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddmi_tpu.core.config import (
+    Config,
+    DDConfig,
+    DDPMConfig,
+    DataConfig,
+    LossConfig,
+    MLPConfig,
+    ModelConfig,
+    UNetConfig,
+)
+from ddmi_tpu.domains.video import VideoPipeline, video_axes
+
+
+def tiny_video_config():
+    dd = DDConfig(
+        double_z=True, timesformer_channels=64, patch_size=8, splits=1,
+        resolution=32, z_channels=32, in_channels=3, out_ch=8, ch=32,
+        ch_mult=(1, 1, 2, 2), num_res_blocks=1, attn_resolutions=(),
+        hdbf_resolutions=(8, 16), inter_attn_resolutions=(4, 8),
+        attn_type="vanilla-multihead",
+    )
+    # latent planes: xy (4,4), xt/yt (frames=4, 4)
+    unet = UNetConfig(
+        in_channels=8, model_channels=32, out_channels=8,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, plane_sizes=((4, 4), (4, 4), (4, 4)),
+    )
+    ddpm = DDPMConfig(timesteps=20, channels=8, sampling_timesteps=4,
+                      mixed_init=-6.0)
+    model = ModelConfig(
+        embed_dim=8, use_fp16=False,
+        lossconfig=LossConfig(epochs=2, warmup_epochs=1,
+                              gradient_accumulate_every=1, sn_reg=True),
+        ddconfig=dd,
+        mlpconfig=MLPConfig(in_ch=3, out_ch=3, ch=64, latent_dim=8),
+        unetconfig=unet,
+        ddpmconfig=ddpm,
+    )
+    return Config(model=model, data=DataConfig(domain="video", frames=4,
+                                               batch_size=2))
+
+
+@pytest.fixture(scope="module")
+def vpipe():
+    return VideoPipeline(tiny_video_config())
+
+
+def test_video_vae_shapes(vpipe, np_rng):
+    x = jnp.asarray(
+        np_rng.uniform(-1, 1, (2, 4, 32, 32, 3)).astype(np.float32)
+    )
+    params = vpipe.vae.init(
+        {"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1)
+    )
+    posts = vpipe.vae.apply(params, x, method=vpipe.vae.encode)
+    assert posts[0].mean.shape == (2, 4, 4, 8)      # xy plane
+    assert posts[1].mean.shape == (2, 4, 4, 8)      # yt (t=4, r=4)
+    assert posts[2].mean.shape == (2, 4, 4, 8)      # xt
+
+    (hdbf, posts2) = vpipe.vae.apply(
+        params, x, jax.random.PRNGKey(2), sample_posterior=True
+    )
+    hdbf_xy, hdbf_yt, hdbf_xt = hdbf
+    assert [p.shape for p in hdbf_xy] == [
+        (2, 8, 8, 8), (2, 16, 16, 8), (2, 32, 32, 8)
+    ]
+    assert [p.shape for p in hdbf_yt] == [
+        (2, 4, 8, 8), (2, 4, 16, 8), (2, 4, 32, 8)
+    ]
+    assert [p.shape for p in hdbf_xt] == [
+        (2, 4, 8, 8), (2, 4, 16, 8), (2, 4, 32, 8)
+    ]
+
+
+def test_video_stage1_step(vpipe, np_rng):
+    state = vpipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)
+    tx = vpipe.stage1_optimizer(4)
+    x = jnp.asarray(np_rng.uniform(0, 1, (2, 4, 32, 32, 3)).astype(np.float32))
+    step = jax.jit(lambda s, xx, r: vpipe.stage1_train_step(tx, s, xx, r))
+    state, metrics = step(state, x, jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_triplane_unet_shapes(vpipe, np_rng):
+    n = 4 * 4 + 2 * 4 * 4
+    x = jnp.asarray(np_rng.standard_normal((2, n, 8)).astype(np.float32))
+    t = jnp.array([1, 10])
+    params = vpipe.unet.init(jax.random.PRNGKey(0), x, t)
+    out = vpipe.unet.apply(params, x, t)
+    assert out.shape == (2, n, 8)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)  # zero-init out
+
+
+def test_chunked_attention_matches_dense(np_rng):
+    from ddmi_tpu.ops import mea
+
+    q = jnp.asarray(np_rng.standard_normal((2, 3, 100, 16)).astype(np.float32))
+    k = jnp.asarray(np_rng.standard_normal((2, 3, 100, 16)).astype(np.float32))
+    v = jnp.asarray(np_rng.standard_normal((2, 3, 100, 16)).astype(np.float32))
+    dense = mea.attention(q, k, v)
+    old = mea._DENSE_MAX
+    try:
+        mea._DENSE_MAX = 10  # force streaming path with uneven chunks
+        chunked = mea.attention(q, k, v, kv_chunk=32)
+    finally:
+        mea._DENSE_MAX = old
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(dense), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_video_inr_three_level(np_rng):
+    """INRVideo with a 3-level pyramid + regular-grid fast path."""
+    from ddmi_tpu.core.config import MLPConfig
+    from ddmi_tpu.nn.inr import INRVideo
+
+    t, h, w, c = 3, 8, 8, 6
+    mk = lambda a, bdim: [
+        jnp.asarray(np_rng.standard_normal((2, a, bdim, c)).astype(np.float32))
+        for _ in range(3)
+    ]
+    hdbf = (mk(h, w), mk(t, h), mk(t, w))
+    coords = video_axes(t, h, w)
+    mlp = INRVideo(MLPConfig(in_ch=3, out_ch=3, ch=32, latent_dim=c))
+    params = mlp.init(jax.random.PRNGKey(0), coords, hdbf)
+    out = mlp.apply(params, coords, hdbf)
+    assert out.shape == (2, t * h * w, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_video_stage2_step_and_sample(np_rng):
+    """Stage-2 over video latents with a 3-level stage-1 config."""
+    cfg = tiny_video_config()
+    pipe = VideoPipeline(cfg)
+    s2 = pipe.init_stage2(jax.random.PRNGKey(0))
+    tx = pipe.stage2_optimizer()
+
+    # fake stage-1 latents path: feed a batch through encode_latents requires
+    # vae params; build them
+    x = jnp.asarray(np_rng.uniform(0, 1, (2, 4, 32, 32, 3)).astype(np.float32))
+    vae_params = pipe.vae.init(
+        {"params": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 4, 32, 32, 3)),
+        jax.random.PRNGKey(2),
+    )["params"]
+    s1_params = {"vae": vae_params}
+
+    step = jax.jit(lambda st, p1, xx, r: pipe.stage2_train_step(tx, st, p1, xx, r))
+    s2, aux = step(s2, s1_params, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(s2.step) == 1
