@@ -56,8 +56,10 @@ class MeshGenerator:
         box_size = 1 + self.padding
 
         if self.upsampling_steps == 0:
+            # corner-aligned grid over [-0.5, 0.5] (make_3d_grid semantics,
+            # convocc/src/common.py:145)
             nx = self.resolution0
-            lin = (np.arange(nx) + 0.5) / nx - 0.5
+            lin = np.linspace(-0.5, 0.5, nx)
             g = np.stack(
                 np.meshgrid(lin, lin, lin, indexing="ij"), -1
             ).reshape(-1, 3) * box_size

@@ -12,11 +12,11 @@ from ddmi_tpu.evals.metrics_3d import (
 )
 
 
-def sphere_logits(radius=0.3):
+def sphere_logits(radius=0.3, steepness=40.0):
     def eval_points(p):
         # p (1, n, 3) -> logits (1, n): positive inside
         d = np.linalg.norm(p, axis=-1)
-        return 40.0 * (radius - d)
+        return steepness * (radius - d)
 
     return eval_points
 
@@ -32,7 +32,11 @@ def test_mesh_generator_sphere(steps):
     verts, tris = gen.generate()
     assert len(verts) > 50
     r = np.linalg.norm(verts, axis=1)
-    np.testing.assert_allclose(r.mean(), 0.3, atol=0.02)
+    # surface sits where logits cross log(t/(1-t)) = -1.386 (threshold 0.2,
+    # generation.py:84), i.e. radius 0.3 + 1.386/40
+    expect = 0.3 + np.log(0.8 / 0.2) / 40.0
+    np.testing.assert_allclose(r.mean(), expect, atol=0.01)
+    assert r.std() < 0.005
 
 
 def test_mesh_generator_simplify():
@@ -79,13 +83,14 @@ def test_eval_mesh_sphere():
     verts = verts / (n - 1)  # to [0,1]
 
     rng = np.random.default_rng(0)
-    d = rng.standard_normal((2000, 3))
+    # dense gt sampling so chamfer reflects surface error, not gt spacing
+    d = rng.standard_normal((40_000, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     pc_gt = 0.5 + 0.35 * d  # exact sphere surface
     pts_iou = rng.uniform(0, 1, (5000, 3))
     occ_gt = (np.linalg.norm(pts_iou - 0.5, axis=1) < 0.35).astype(np.float32)
 
-    m = eval_mesh(verts, tris, pc_gt, pts_iou, occ_gt, n_surface=5000)
-    assert m["chamfer_l1"] < 0.02
+    m = eval_mesh(verts, tris, pc_gt, pts_iou, occ_gt, n_surface=20_000)
+    assert m["chamfer_l1"] < 0.01
     assert m["iou"] > 0.9
     assert m["fscore"] > 0.8
