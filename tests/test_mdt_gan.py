@@ -78,7 +78,9 @@ def test_discriminator_and_gan_loss(np_rng):
     assert len(feats) == 5
 
     gan = GANLoss2D()
-    gparams = gan.init(jax.random.PRNGKey(1), x, r, True)
+    # scale-conditioned variant: the cond channel is part of the disc input,
+    # so init must see it too (reference sizes disc_in_channels accordingly)
+    gparams = gan.init(jax.random.PRNGKey(1), x, r, True, cond=1.0)
     g_loss = gan.apply(gparams, x, r, True, cond=0.5)
     d_loss = gan.apply(gparams, x, r, False, cond=0.5)
     assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
