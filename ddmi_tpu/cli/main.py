@@ -19,13 +19,21 @@ def build_dataset(cfg, train: bool = True):
 
     d = cfg.data
     root = d.data_dir if train else d.test_data_dir
+    # stage-1 multiscale training needs 2x-anchor inputs (random-crop pyramid,
+    # core/coords.py multiscale_image_transform; reference trains CelebA-HQ at
+    # 512 for anchor 256, tools/d2c_vae/image.py:96-118); otherwise anchor res.
+    anchor = cfg.model.ddconfig.resolution
+    train_res = 2 * anchor if cfg.model.lossconfig.multiscale else anchor
     if d.dataset == "synthetic":
-        return SyntheticImages(d.batch_size, resolution=512)
+        return SyntheticImages(
+            d.batch_size if train else d.test_batch_size,
+            resolution=train_res if train else anchor,
+        )
     if cfg.data.domain == "image":
         return ImageFolderDataset(
             root,
             d.batch_size if train else d.test_batch_size,
-            resolution=512 if train else 256,
+            resolution=train_res if train else anchor,
             random_flip=train,
             num_processes=jax.process_count(),
             process_index=jax.process_index(),
@@ -35,7 +43,7 @@ def build_dataset(cfg, train: bool = True):
 
         return VideoFrameFolderDataset(
             root, d.batch_size if train else d.test_batch_size,
-            frames=d.frames, resolution=256,
+            frames=d.frames, resolution=anchor,
         )
     if cfg.data.domain == "occupancy":
         from ddmi_tpu.data.shapenet import ShapeNetOccupancyDataset

@@ -4,23 +4,31 @@ One trainer drives every (stage x domain) cell through a small pipeline
 protocol — collapsing the reference's 8 near-copy-paste Trainer classes
 (SURVEY.md §2.1 note) into a single loop.  Responsibilities: jit the step with
 mesh shardings, feed host batches (sharded over 'data'), run epochs, log
-metrics, checkpoint, and fire eval/sample hooks.  No wait_for_everyone
-barriers: SPMD keeps devices in lockstep inside the compiled step; host sync
-only happens at checkpoint boundaries (handled by Orbax)."""
+metrics, checkpoint, fire eval/sample hooks, guard against NaNs, and (opt-in)
+capture a jax.profiler trace.  No wait_for_everyone barriers: SPMD keeps
+devices in lockstep inside the compiled step; host sync only happens at
+checkpoint boundaries (handled by Orbax)."""
 
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ddmi_tpu.core.checkpoint import CheckpointManager
 from ddmi_tpu.core.config import Config
 from ddmi_tpu.core.metrics import MetricsLogger
 from ddmi_tpu.parallel.mesh import MeshSpec, make_mesh
+
+
+class NaNLossError(RuntimeError):
+    """Raised when the training loss goes non-finite (failure detection,
+    SURVEY.md §5 aux subsystems)."""
 
 
 class Trainer:
@@ -45,15 +53,63 @@ class Trainer:
         self.logger = MetricsLogger(self.save_dir)
         self.repl = NamedSharding(self.mesh, P())
         self.data_sh = NamedSharding(self.mesh, P("data"))
+        self._warned_trim = False
+        # NaN guard cadence: checking every step would force a host sync per
+        # step; every `nan_check_every` steps keeps the device queue deep.
+        self.nan_check_every = int(cfg.data.extra.get("nan_check_every", 50))
+        self.profile_steps = int(cfg.data.extra.get("profile_steps", 0))
 
-    def _put_batch(self, x):
-        return jax.device_put(jnp.asarray(x), self.data_sh)
+    # -------------------------------------------------------------- batching
+
+    def _put_batch(self, batch):
+        """Device-put a host batch (array OR pytree/dict of arrays) sharded
+        over the 'data' axis.  Batches whose leading dim is not divisible by
+        the data-axis size are padded by wrap-around repetition up to the next
+        multiple so SPMD shapes stay static (duplicated samples slightly
+        re-weight that step's mean loss; exact-multiple batches — every
+        production config — are untouched)."""
+        d = self.mesh.shape["data"]
+
+        def fix(x):
+            x = jnp.asarray(x) if not isinstance(x, jnp.ndarray) else x
+            b = x.shape[0]
+            if b % d == 0:
+                return x
+            if not self._warned_trim:
+                warnings.warn(
+                    f"batch {b} not divisible by data axis {d}; padding by "
+                    f"wrap-around to {b + (-b) % d}", stacklevel=3,
+                )
+                self._warned_trim = True
+            reps = -(-(b + (-b) % d) // b)
+            return jnp.concatenate([x] * reps, axis=0)[: b + (-b) % d]
+
+        batch = jax.tree_util.tree_map(fix, batch)
+        return jax.device_put(batch, self.data_sh)
 
     def _steps_per_epoch(self) -> int:
         try:
             return max(1, len(self.data))
         except TypeError:
             return 1000
+
+    def _check_finite(self, step: int, metrics) -> None:
+        if self.nan_check_every <= 0 or step % self.nan_check_every:
+            return
+        loss = metrics.get("loss")
+        if loss is not None and not np.isfinite(np.asarray(jax.device_get(loss))):
+            raise NaNLossError(f"non-finite loss at step {step}: {loss}")
+
+    def _maybe_profile(self, step: int):
+        """Capture a jax.profiler trace of steps [2, 2+profile_steps) when
+        data.extra.profile_steps > 0 (SURVEY.md §5 profiling hooks)."""
+        if self.profile_steps <= 0:
+            return
+        if step == 2:
+            jax.profiler.start_trace(os.path.join(self.save_dir, "profile"))
+        elif step == 2 + self.profile_steps:
+            jax.profiler.stop_trace()
+            self.profile_steps = 0
 
     # ---------------------------------------------------------------- stage 1
 
@@ -75,13 +131,13 @@ class Trainer:
         state = jax.device_put(state, self.repl)
         step_fn = jax.jit(
             lambda s, x, r: self.pipe.stage1_train_step(tx, s, x, r),
-            in_shardings=(self.repl, self.data_sh, self.repl),
-            out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
         )
         epochs = epochs or self.pipe.lc.epochs
         rng = jax.random.PRNGKey(cfg.seed + 1)
         save_every = self.pipe.lc.save_and_sample_every
+        if eval_hook is None:
+            eval_hook = default_stage1_eval_hook
 
         for epoch in range(epochs):
             for batch in self.data:
@@ -89,7 +145,10 @@ class Trainer:
                 state, metrics = step_fn(
                     state, self._put_batch(batch), jax.device_put(step_rng, self.repl)
                 )
-                self.logger.log(int(state.step), metrics, prefix="s1/")
+                step = int(state.step)
+                self.logger.log(step, metrics, prefix="s1/")
+                self._check_finite(step, metrics)
+                self._maybe_profile(step)
             if epoch % save_every == 0 or epoch == epochs - 1:
                 ckpt.save(int(state.step), jax.device_get(state))
                 if eval_hook is not None:
@@ -119,13 +178,14 @@ class Trainer:
         stage1_params = jax.device_put(stage1_params, self.repl)
         step_fn = jax.jit(
             lambda s, p1, x, r: self.pipe.stage2_train_step(tx, s, p1, x, r),
-            in_shardings=(self.repl, self.repl, self.data_sh, self.repl),
-            out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
         )
         epochs = epochs or self.pipe.lc.epochs
         rng = jax.random.PRNGKey(cfg.seed + 2)
         save_every = self.pipe.lc.save_and_sample_every
+        if eval_hook is None:
+            eval_hook = default_stage2_eval_hook
+        self._stage1_params_for_eval = stage1_params
 
         for epoch in range(epochs):
             for batch in self.data:
@@ -136,7 +196,10 @@ class Trainer:
                     self._put_batch(batch),
                     jax.device_put(step_rng, self.repl),
                 )
-                self.logger.log(int(state.step), metrics, prefix="s2/")
+                step = int(state.step)
+                self.logger.log(step, metrics, prefix="s2/")
+                self._check_finite(step, metrics)
+                self._maybe_profile(step)
             if epoch % save_every == 0 or epoch == epochs - 1:
                 ckpt.save(int(state.step), jax.device_get(state))
                 if eval_hook is not None:
@@ -159,18 +222,68 @@ class Trainer:
         return ckpt.restore(state)
 
     def generate(self, n: Optional[int] = None, resolution: Optional[int] = None):
-        """mode: gen — EMA DDIM sample -> decode -> render -> save
-        (tools/ldm/image.py:226-249)."""
+        """mode: gen — EMA DDIM sample -> decode -> render/extract -> save.
+
+        Per-domain dispatch matching the reference generate paths:
+        image  tools/ldm/image.py:226-249   -> PNGs
+        video  tools/ldm/video.py eval path -> per-frame PNGs (or .npy)
+        occ    tools/ldm/occupancy.py:204-219 -> .off meshes
+        nerf   tools/ldm/nerf.py:243-299    -> spherical-path view PNGs
+        """
         s1 = self.load_stage1()
         s2 = self.load_stage2()
         n = n or self.cfg.data.test_batch_size
-        res = resolution or self.cfg.data.test_resolution
-        imgs = jax.jit(
-            lambda lp, sp, r: self.pipe.sample_images(lp, sp, r, n, res)
-        )(s2.ema_params, s1.params, jax.random.PRNGKey(self.cfg.seed))
-        out = jax.device_get(imgs)
-        self._save_images(out, os.path.join(self.save_dir, "generation"))
-        return out
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        out_dir = os.path.join(self.save_dir, "generation")
+        domain = self.cfg.data.domain
+
+        if domain == "image":
+            res = resolution or self.cfg.data.test_resolution
+            imgs = jax.jit(
+                lambda lp, sp, r: self.pipe.sample_images(lp, sp, r, n, res)
+            )(s2.ema_params, s1.params, rng)
+            out = jax.device_get(imgs)
+            self._save_images(out, out_dir)
+            return out
+
+        if domain == "video":
+            vids = jax.jit(
+                lambda lp, sp, r: self.pipe.sample_videos(lp, sp, r, n)
+            )(s2.ema_params, s1.params, rng)
+            out = jax.device_get(vids)
+            for i, vid in enumerate(out):
+                self._save_images(vid, os.path.join(out_dir, f"video_{i}"))
+            return out
+
+        if domain == "occupancy":
+            from ddmi_tpu.geometry.generation import MeshGenerator
+
+            z = jax.jit(lambda lp, r: self.pipe.sample_latents(lp, r, n))(
+                s2.ema_params, rng
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            meshes = []
+            for i in range(n):
+                eval_fn = jax.jit(
+                    self.pipe.decode_logits_fn(s1.params, z[i : i + 1])
+                )
+                gen = MeshGenerator(eval_fn)
+                verts, tris = gen.generate()
+                meshes.append((verts, tris))
+                _save_off(os.path.join(out_dir, f"mesh_{i}.off"), verts, tris)
+            return meshes
+
+        if domain == "nerf":
+            res = resolution or 128
+            views = self.pipe.sample_nerfs(
+                s2.ema_params, s1.params, rng, n, H=res, W=res
+            )
+            out = jax.device_get(views)
+            for i, vs in enumerate(out):
+                self._save_images(vs, os.path.join(out_dir, f"nerf_{i}"))
+            return out
+
+        raise NotImplementedError(domain)
 
     @staticmethod
     def _save_images(imgs, prefix: str):
@@ -186,3 +299,123 @@ class Trainer:
             Image.fromarray((np.clip(im, 0, 1) * 255).astype("uint8")).save(
                 f"{prefix}_{i}.png"
             )
+
+
+def _save_off(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(tris)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for t in tris:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _first_test_batch(trainer: Trainer):
+    data = trainer.test_data if trainer.test_data is not None else trainer.data
+    for batch in data:
+        return batch
+    return None
+
+
+def default_stage1_eval_hook(trainer: Trainer, state, epoch: int) -> None:
+    """In-training stage-1 eval at every save_and_sample_every epoch
+    (reference: tools/d2c_vae/image.py:256-265): reconstruct a test batch,
+    log PSNR, dump reconstructions.  rFID/rFVD additionally when an
+    InceptionV3/I3D weight file is configured (data.extra.inception_pth /
+    i3d_pth) — the ports need converted torch weights to be meaningful."""
+    batch = _first_test_batch(trainer)
+    if batch is None:
+        return
+    domain = trainer.cfg.data.domain
+    params = jax.device_get(state).params
+    out_dir = os.path.join(trainer.save_dir, "recon")
+
+    try:
+        if domain == "image":
+            x = jnp.asarray(batch)[:4]
+            recon = jax.device_get(
+                jax.jit(trainer.pipe.reconstruct)(params, x)
+            )
+            target = np.asarray(jax.device_get(x))  # datasets yield [0,1]
+            if recon.shape == target.shape:
+                mse = float(np.mean((recon - target) ** 2))
+            else:
+                mse = float("nan")
+            trainer.logger.log(
+                int(state.step),
+                {"psnr": -10.0 * np.log10(max(mse, 1e-12))},
+                prefix="eval/",
+            )
+            trainer._save_images(recon, os.path.join(out_dir, f"ep{epoch}"))
+        elif domain == "video":
+            x = jnp.asarray(batch)[:2]
+            recon = jax.device_get(jax.jit(trainer.pipe.reconstruct)(params, x))
+            target = np.asarray(jax.device_get(x))
+            mse = float(np.mean((recon - target) ** 2))
+            trainer.logger.log(
+                int(state.step),
+                {"psnr": -10.0 * np.log10(max(mse, 1e-12))},
+                prefix="eval/",
+            )
+        elif domain == "occupancy":
+            b = {k: jnp.asarray(v)[:1] for k, v in batch.items()}
+            logits = jax.device_get(
+                jax.jit(trainer.pipe.occupancy_logits)(
+                    params, b["inputs"], b["points"], jax.random.PRNGKey(0)
+                )
+            )
+            pred = logits > 0
+            occ = np.asarray(jax.device_get(b["occ"])) > 0.5
+            inter = np.logical_and(pred, occ).sum()
+            union = np.logical_or(pred, occ).sum()
+            trainer.logger.log(
+                int(state.step),
+                {"iou": float(inter) / max(float(union), 1.0)},
+                prefix="eval/",
+            )
+        elif domain == "nerf":
+            pass  # per-scene rendering is driven explicitly (pipelines.render_image)
+    except Exception as e:  # pragma: no cover - eval must never kill training
+        warnings.warn(f"stage1 eval hook failed: {e}")
+
+
+def default_stage2_eval_hook(trainer: Trainer, state, epoch: int) -> None:
+    """Stage-2 in-training sampling (reference: tools/ldm/image.py:204-219):
+    EMA DDIM sample a small batch and dump it; mesh-extract for occupancy."""
+    domain = trainer.cfg.data.domain
+    s1_params = getattr(trainer, "_stage1_params_for_eval", None)
+    if s1_params is None:
+        return
+    rng = jax.random.PRNGKey(trainer.cfg.seed + 100 + epoch)
+    out_dir = os.path.join(trainer.save_dir, "samples")
+
+    try:
+        if domain == "image":
+            res = min(trainer.cfg.data.test_resolution, 256)
+            imgs = jax.device_get(
+                trainer.pipe.sample_images(
+                    state.ema_params, s1_params, rng, batch=2, resolution=res
+                )
+            )
+            trainer._save_images(imgs, os.path.join(out_dir, f"ep{epoch}"))
+        elif domain == "video":
+            vids = jax.device_get(
+                trainer.pipe.sample_videos(state.ema_params, s1_params, rng, 1)
+            )
+            trainer._save_images(
+                vids[0], os.path.join(out_dir, f"ep{epoch}_video")
+            )
+        elif domain == "occupancy":
+            from ddmi_tpu.geometry.generation import MeshGenerator
+
+            z = trainer.pipe.sample_latents(state.ema_params, rng, 1)
+            eval_fn = jax.jit(trainer.pipe.decode_logits_fn(s1_params, z))
+            verts, tris = MeshGenerator(eval_fn, upsampling_steps=0,
+                                        resolution0=32).generate()
+            os.makedirs(out_dir, exist_ok=True)
+            _save_off(os.path.join(out_dir, f"ep{epoch}.off"), verts, tris)
+        elif domain == "nerf":
+            pass
+    except Exception as e:  # pragma: no cover
+        warnings.warn(f"stage2 eval hook failed: {e}")

@@ -76,7 +76,9 @@ class ImagePipeline:
 
     # ---------------------------------------------------------------- stage 1
 
-    def init_stage1(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage1State:
+    def init_stage1_params(self, rng: jax.Array):
+        """Params-only stage-1 init (no optimizer/SN state) — the sampling /
+        eval path needs just these (bench.py, Trainer.generate)."""
         m = self.cfg.model
         r1, r2, r3, r4 = jax.random.split(rng, 4)
         res = self.anchor
@@ -90,7 +92,10 @@ class ImagePipeline:
             [jnp.zeros(s) for s in hdbf_shapes],
             1.0,
         )
-        params = {"vae": vae_params["params"], "mlp": mlp_params["params"]}
+        return {"vae": vae_params["params"], "mlp": mlp_params["params"]}
+
+    def init_stage1(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage1State:
+        params = self.init_stage1_params(rng)
         sn_state = init_sn_state(params["vae"], jax.random.PRNGKey(7))
         self._stage1_total_iters = steps_per_epoch * self.lc.epochs
         tx = self.stage1_optimizer(steps_per_epoch)
@@ -239,13 +244,14 @@ class ImagePipeline:
 
     # ---------------------------------------------------------------- stage 2
 
-    def init_stage2(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage2State:
+    def init_stage2_params(self, rng: jax.Array):
+        """Params-only stage-2 init (no EMA copy / optimizer state)."""
         m = self.cfg.model
         r1, r2 = jax.random.split(rng)
         u = m.unetconfig
         x = jnp.zeros((1, u.image_size, u.image_size, u.in_channels))
         unet_params = self.unet.init({"params": r1}, x, jnp.zeros((1,), jnp.int32))
-        params = {
+        return {
             "unet": unet_params["params"],
             "mixing_logit": jnp.full(
                 (1, 1, 1, m.ddpmconfig.channels),
@@ -253,6 +259,9 @@ class ImagePipeline:
                 jnp.float32,
             ),
         }
+
+    def init_stage2(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage2State:
+        params = self.init_stage2_params(rng)
         tx = self.stage2_optimizer()
         return Stage2State(
             step=jnp.zeros((), jnp.int32),
@@ -319,7 +328,7 @@ class ImagePipeline:
         chunks bounds peak memory (the whole 256^2+ token set would otherwise
         hold ~10 activation tensors live at once; chunking replaces the
         reference's host-side netchunk loops, SURVEY.md §5)."""
-        lin = pixel_center_lin(res)
+        lin = pixel_center_lin(res).astype(hdbf[0].dtype)
         rows_per = max(1, min(res, chunk_tokens // res))
         while res % rows_per:
             rows_per -= 1
@@ -361,8 +370,12 @@ class ImagePipeline:
         z = ddim_sample(
             self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s, noise=noise
         )
+        # Run the decode+render leg in the stage-1 params' dtype (bf16 when the
+        # caller casts params for sampling — flax promotion rules then keep the
+        # whole conv/MXU path in bf16).
+        p_dtype = jax.tree_util.tree_leaves(stage1_params["vae"])[0].dtype
         hdbf = self.vae.apply(
-            {"params": stage1_params["vae"]}, z, method=self.vae.decode
+            {"params": stage1_params["vae"]}, z.astype(p_dtype), method=self.vae.decode
         )
         si = get_scale_injection(res, self.anchor)
         out = self._render_grid(stage1_params["mlp"], hdbf, res, si, rng_noise)

@@ -118,6 +118,8 @@ class INRImage(nn.Module):
         style = nn.Dense(c.ch)(style)
         style = jax.nn.gelu(style)
         style = nn.Dense(c.ch)(style)
+        # keep the token path in the planes' dtype (bf16 sampling)
+        style = style.astype(hdbf[0].dtype)
 
         scale_pix = jnp.full((b, n, c.in_ch), si, hdbf[0].dtype)
 
