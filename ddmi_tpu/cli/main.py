@@ -58,15 +58,54 @@ def build_dataset(cfg, train: bool = True):
     raise NotImplementedError(cfg.data.domain)
 
 
+def build_perceptual(cfg):
+    """LPIPS perceptual_fn for stage-1 image/video training — the reference
+    ALWAYS trains those with LPIPS (tools/d2c_vae/image.py:61, :207).  Loads
+    converted torch VGG16+lin weights from data.extra.lpips_pth when present
+    (the reference downloads them at runtime; this environment has no
+    egress), else falls back to a random-init VGG feature distance with a
+    loud warning."""
+    import os
+    import warnings
+
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from ddmi_tpu.evals.lpips import LPIPS, load_torch_weights
+
+    model = LPIPS()
+    pth = cfg.data.extra.get("lpips_pth")
+    if pth and os.path.exists(pth):
+        import numpy as np
+
+        state = dict(np.load(pth, allow_pickle=True).item()) if pth.endswith(
+            ".npy"
+        ) else __import__("torch").load(pth, map_location="cpu")
+        params = load_torch_weights(state, state)
+    else:
+        warnings.warn(
+            "LPIPS weights not found (data.extra.lpips_pth); using random-init "
+            "VGG features — training still regularizes on perceptual structure "
+            "but values are not comparable to the reference's LPIPS"
+        )
+        x = jnp.zeros((1, 64, 64, 3))
+        params = model.init(_jax.random.PRNGKey(0), x, x)["params"]
+
+    return lambda target, output: model.apply({"params": params}, target, output)
+
+
 def build_pipeline(cfg):
+    perceptual = None
+    if cfg.exp == "d2c-vae" and cfg.data.domain in ("image", "video"):
+        perceptual = build_perceptual(cfg)
     if cfg.data.domain == "image":
         from ddmi_tpu.domains.image import ImagePipeline
 
-        return ImagePipeline(cfg)
+        return ImagePipeline(cfg, perceptual_fn=perceptual)
     if cfg.data.domain == "video":
         from ddmi_tpu.domains.video import VideoPipeline
 
-        return VideoPipeline(cfg)
+        return VideoPipeline(cfg, perceptual_fn=perceptual)
     if cfg.data.domain == "occupancy":
         from ddmi_tpu.domains.occupancy import OccupancyPipeline
 

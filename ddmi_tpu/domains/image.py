@@ -48,6 +48,10 @@ class Stage1State(flax.struct.PyTreeNode):
     params: Any          # {'vae': ..., 'mlp': ...}
     opt_state: Any
     sn_state: Any
+    # adversarial variants only (lossconfig.adversarial; reference
+    # tools/d2c_vae/image.py:82-89 keeps a second AdamW for the PatchGAN)
+    disc_params: Any = None
+    disc_opt_state: Any = None
 
 
 class Stage2State(flax.struct.PyTreeNode):
@@ -69,10 +73,28 @@ class ImagePipeline:
         self.vae = Autoencoder(m.ddconfig, embed_dim=m.embed_dim)
         self.mlp = INRImage(m.mlpconfig)
         dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32
-        self.unet = UNet(m.unetconfig, dtype=dtype)
+        # model.DiT selects the MDTv2 denoiser (reference exp/stage.py:196-199)
+        if m.DiT:
+            from ddmi_tpu.nn.mdt import MDTv2
+
+            self.unet = MDTv2(m.ditconfig)
+            self.is_dit = True
+        else:
+            self.unet = UNet(m.unetconfig, dtype=dtype)
+            self.is_dit = False
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
         self.anchor = m.ddconfig.resolution  # 256
+        if self.lc.adversarial:
+            from ddmi_tpu.losses.gan import GANLoss2D
+
+            self.gan = GANLoss2D(disc_weight=self.lc.disc_weight)
+            # DiffAugment policy for disc inputs (losses/diffaugment.py);
+            # opt-in via lossconfig.extra (reference imports it but the main
+            # path leaves it off, SURVEY.md §2.5)
+            self.diffaug_policy = self.lc.extra.get("diffaugment", "")
+        else:
+            self.gan = None
 
     # ---------------------------------------------------------------- stage 1
 
@@ -97,6 +119,13 @@ class ImagePipeline:
     def init_stage1(self, rng: jax.Array, steps_per_epoch: int = 1000) -> Stage1State:
         params = self.init_stage1_params(rng)
         sn_state = init_sn_state(params["vae"], jax.random.PRNGKey(7))
+        disc_params = disc_opt_state = None
+        if self.gan is not None:
+            dummy = jnp.zeros((1, 64, 64, self.cfg.model.ddconfig.in_channels))
+            disc_params = self.gan.init(
+                jax.random.PRNGKey(11), dummy, dummy, False, 1.0
+            )["params"]
+            disc_opt_state = self.disc_optimizer().init(disc_params)
         self._stage1_total_iters = steps_per_epoch * self.lc.epochs
         tx = self.stage1_optimizer(steps_per_epoch)
         return Stage1State(
@@ -104,6 +133,8 @@ class ImagePipeline:
             params=params,
             opt_state=tx.init(params),
             sn_state=sn_state,
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
         )
 
     def _hdbf_shapes(self, b: int):
@@ -209,20 +240,97 @@ class ImagePipeline:
             "lpips": p_loss,
             "sn": sn,
         }
-        return loss, (metrics, new_sn_state)
+        return loss, (metrics, new_sn_state, (target, output, scale))
+
+    def disc_optimizer(self) -> optax.GradientTransformation:
+        """AdamW(lr, betas=(0.5, 0.9)) for the PatchGAN
+        (tools/d2c_vae/image.py:84-87)."""
+        return optax.adamw(self.cfg.model.lr, b1=0.5, b2=0.9, weight_decay=0.0)
+
+    def _augment_for_disc(self, x, rng):
+        if not self.diffaug_policy:
+            return x
+        from ddmi_tpu.losses.diffaugment import diff_augment
+
+        return diff_augment(x, rng, policy=self.diffaug_policy)
 
     def stage1_train_step(self, tx, state: Stage1State, x, rng):
-        (_, (metrics, sn_state)), grads = jax.value_and_grad(
-            self.stage1_loss, has_aux=True
-        )(state.params, state.sn_state, x, rng, state.step)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if self.gan is None:
+            (_, (metrics, sn_state, _)), grads = jax.value_and_grad(
+                self.stage1_loss, has_aux=True
+            )(state.params, state.sn_state, x, rng, state.step)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=params,
+                    opt_state=opt_state,
+                    sn_state=sn_state,
+                ),
+                metrics,
+            )
+        return self._stage1_adv_train_step(tx, state, x, rng)
+
+    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng):
+        """Adversarial stage-1 step: generator (VAE+MLP) and discriminator
+        update fused in one compiled program sharing the recon forward.
+
+        The reference alternates whole accumulation windows between the two
+        AdamW optimizers (tools/d2c_vae/image.py:241-254 optimizer_idx
+        flip-flop); under jit we instead take both gradients every step from
+        the same forward — the standard simultaneous-GAN formulation (each
+        player still only differentiates its own loss; stop_gradients match
+        the reference's)."""
+        rng, rng_aug = jax.random.split(rng)
+
+        def g_loss_fn(params, disc_params):
+            base, (metrics, sn_state, (target, output, scale)) = self.stage1_loss(
+                params, state.sn_state, x, rng, state.step
+            )
+            g_gan = self.gan.apply(
+                {"params": disc_params},
+                self._augment_for_disc(target, rng_aug),
+                self._augment_for_disc(output, rng_aug),
+                True,
+                scale,
+            )
+            metrics = dict(metrics, g_gan=g_gan)
+            return base + g_gan, (metrics, sn_state, (target, output, scale))
+
+        (_, (metrics, sn_state, (target, output, scale))), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.params, state.disc_params
+            )
+        )
+
+        def d_loss_fn(disc_params):
+            return self.gan.apply(
+                {"params": disc_params},
+                self._augment_for_disc(target, rng_aug),
+                self._augment_for_disc(jax.lax.stop_gradient(output), rng_aug),
+                False,
+                scale,
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_tx = self.disc_optimizer()
+        d_updates, disc_opt_state = d_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        updates, opt_state = tx.update(g_grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, d_loss=d_loss)
         return (
             state.replace(
                 step=state.step + 1,
                 params=params,
                 opt_state=opt_state,
                 sn_state=sn_state,
+                disc_params=disc_params,
+                disc_opt_state=disc_opt_state,
             ),
             metrics,
         )
@@ -248,9 +356,20 @@ class ImagePipeline:
         """Params-only stage-2 init (no EMA copy / optimizer state)."""
         m = self.cfg.model
         r1, r2 = jax.random.split(rng)
-        u = m.unetconfig
-        x = jnp.zeros((1, u.image_size, u.image_size, u.in_channels))
-        unet_params = self.unet.init({"params": r1}, x, jnp.zeros((1,), jnp.int32))
+        # diffusion-space shape comes from ddpmconfig (valid for both the
+        # UNet and the MDTv2 denoiser)
+        d = m.ddpmconfig
+        x = jnp.zeros((1, d.image_size, d.image_size, d.channels))
+        t0 = jnp.zeros((1,), jnp.int32)
+        if self.is_dit and m.ditconfig.mask_ratio is not None:
+            # init through the masked path so the side-interpolater params
+            # (mask_token / sideblock) exist for training
+            unet_params = self.unet.init(
+                {"params": r1}, x, t0, enable_mask=True,
+                rng=jax.random.PRNGKey(0),
+            )
+        else:
+            unet_params = self.unet.init({"params": r1}, x, t0)
         return {
             "unet": unet_params["params"],
             "mixing_logit": jnp.full(
@@ -288,9 +407,18 @@ class ImagePipeline:
         return jax.lax.stop_gradient(posterior.sample(rng))
 
     def stage2_loss(self, params, stage1_params, x, rng):
-        rng_enc, rng_diff = jax.random.split(rng)
+        rng_enc, rng_diff, rng_mask = jax.random.split(rng, 3)
         z = self.encode_latents(stage1_params, x, rng_enc)
-        model_fn = lambda xt, t: self.unet.apply({"params": params["unet"]}, xt, t)
+        if self.is_dit and self.cfg.model.ditconfig.mask_ratio is not None:
+            # MDTv2 masked training (maskedtransformer.py:395-422)
+            model_fn = lambda xt, t: self.unet.apply(
+                {"params": params["unet"]}, xt, t,
+                enable_mask=True, rng=rng_mask,
+            )
+        else:
+            model_fn = lambda xt, t: self.unet.apply(
+                {"params": params["unet"]}, xt, t
+            )
         loss, aux = diffusion_loss(
             self.gd, model_fn, params["mixing_logit"], z, rng_diff
         )

@@ -60,6 +60,12 @@ class VideoPipeline:
         self.res = m.ddconfig.resolution
         r = m.ddconfig.resolution // 8
         self.n_latent_tokens = r * r + 2 * self.frames * r
+        if self.lc.adversarial:
+            from ddmi_tpu.losses.gan import GANLoss3D
+
+            self.gan = GANLoss3D(disc_weight=self.lc.disc_weight)
+        else:
+            self.gan = None
 
     # ---------------------------------------------------------------- stage 1
 
@@ -74,11 +80,20 @@ class VideoPipeline:
         params = {"vae": vae_params, "mlp": mlp_params}
         self._stage1_total_iters = steps_per_epoch * self.lc.epochs
         tx = self.stage1_optimizer(steps_per_epoch)
+        disc_params = disc_opt_state = None
+        if self.gan is not None:
+            dummy = jnp.zeros((1, 4, 32, 32, 3))
+            disc_params = self.gan.init(
+                jax.random.PRNGKey(11), dummy, dummy, False
+            )["params"]
+            disc_opt_state = self.disc_optimizer().init(disc_params)
         return Stage1State(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
             sn_state=init_sn_state(params["vae"], jax.random.PRNGKey(7)),
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
         )
 
     def _dummy_hdbf(self, b):
@@ -169,18 +184,80 @@ class VideoPipeline:
 
         metrics = {"loss": loss, "recon": recon, "kl": kld,
                    "kl_coeff": kl_coeff, "lpips": p_loss, "sn": sn}
-        return loss, (metrics, new_sn)
+        return loss, (metrics, new_sn, (x, output))
+
+    def disc_optimizer(self) -> optax.GradientTransformation:
+        """AdamW(lr, betas=(0.5, 0.9)) for the 2D+3D PatchGAN pair
+        (tools/d2c_vae/video.py disc optimizer)."""
+        return optax.adamw(self.cfg.model.lr, b1=0.5, b2=0.9, weight_decay=0.0)
 
     def stage1_train_step(self, tx, state: Stage1State, x, rng):
-        (_, (metrics, sn_state)), grads = jax.value_and_grad(
-            self.stage1_loss, has_aux=True
-        )(state.params, state.sn_state, x, rng, state.step)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if self.gan is None:
+            (_, (metrics, sn_state, _)), grads = jax.value_and_grad(
+                self.stage1_loss, has_aux=True
+            )(state.params, state.sn_state, x, rng, state.step)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=params,
+                              opt_state=opt_state, sn_state=sn_state),
+                metrics,
+            )
+        return self._stage1_adv_train_step(tx, state, x, rng)
+
+    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng):
+        """Fused G+D update with the 2D(per-frame)+3D discriminator pair
+        (losses/gan.py GANLoss3D; reference alternates optimizers,
+        tools/d2c_vae/video.py — see image.py._stage1_adv_train_step for the
+        simultaneous-step rationale)."""
+        rng, rng_f = jax.random.split(rng)
+        b, t = x.shape[0], x.shape[1]
+        frame_idx = jax.random.randint(rng_f, (b,), 0, t)
+
+        def g_loss_fn(params, disc_params):
+            base, (metrics, sn_state, (target, output)) = self.stage1_loss(
+                params, state.sn_state, x, rng, state.step
+            )
+            g_gan = self.gan.apply(
+                {"params": disc_params}, target, output, True, frame_idx
+            )
+            return base + g_gan, (
+                dict(metrics, g_gan=g_gan), sn_state, (target, output)
+            )
+
+        (_, (metrics, sn_state, (target, output))), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.params, state.disc_params
+            )
+        )
+
+        def d_loss_fn(disc_params):
+            return self.gan.apply(
+                {"params": disc_params},
+                target,
+                jax.lax.stop_gradient(output),
+                False,
+                frame_idx,
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        d_tx = self.disc_optimizer()
+        d_updates, disc_opt_state = d_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+        updates, opt_state = tx.update(g_grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (
-            state.replace(step=state.step + 1, params=params,
-                          opt_state=opt_state, sn_state=sn_state),
-            metrics,
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                sn_state=sn_state,
+                disc_params=disc_params,
+                disc_opt_state=disc_opt_state,
+            ),
+            dict(metrics, d_loss=d_loss),
         )
 
     def reconstruct(self, params, x, rng=None):
