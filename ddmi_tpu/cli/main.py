@@ -25,10 +25,20 @@ def build_dataset(cfg, train: bool = True):
     anchor = cfg.model.ddconfig.resolution
     train_res = 2 * anchor if cfg.model.lossconfig.multiscale else anchor
     if d.dataset == "synthetic":
-        return SyntheticImages(
-            d.batch_size if train else d.test_batch_size,
-            resolution=train_res if train else anchor,
-        )
+        bs = d.batch_size if train else d.test_batch_size
+        if d.domain == "video":
+            from ddmi_tpu.data.video import SyntheticVideos
+
+            return SyntheticVideos(bs, frames=d.frames, resolution=anchor)
+        if d.domain == "occupancy":
+            from ddmi_tpu.data.shapenet import SyntheticOccupancy
+
+            return SyntheticOccupancy(bs)
+        if d.domain == "nerf":
+            from ddmi_tpu.data.nerf import SyntheticNeRF
+
+            return SyntheticNeRF(bs, resolution=d.test_resolution)
+        return SyntheticImages(bs, resolution=train_res if train else anchor)
     if cfg.data.domain == "image":
         return ImageFolderDataset(
             root,
@@ -48,8 +58,21 @@ def build_dataset(cfg, train: bool = True):
     if cfg.data.domain == "occupancy":
         from ddmi_tpu.data.shapenet import ShapeNetOccupancyDataset
 
+        # sampling params from the nested convocc YAML when configured
+        # (convocc data block: pointcloud_n/noise/points_subsample)
+        ds_kw = {}
+        if d.conv_config:
+            from ddmi_tpu.core.convocc_config import load_convocc_config
+
+            cc = (load_convocc_config(d.conv_config).get("data") or {})
+            ds_kw = {
+                "points_subsample": cc.get("points_subsample", 2048),
+                "pointcloud_n": cc.get("pointcloud_n", 3000),
+                "pointcloud_noise": cc.get("pointcloud_noise", 0.005),
+                "categories": cc.get("classes"),
+            }
         return ShapeNetOccupancyDataset(
-            root, d.batch_size, split="train" if train else "test"
+            root, d.batch_size, split="train" if train else "test", **ds_kw
         )
     if cfg.data.domain == "nerf":
         from ddmi_tpu.data.nerf import NeRFShapeNetDataset

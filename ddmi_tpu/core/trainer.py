@@ -267,7 +267,9 @@ class Trainer:
                 eval_fn = jax.jit(
                     self.pipe.decode_logits_fn(s1.params, z[i : i + 1])
                 )
-                gen = MeshGenerator(eval_fn)
+                gen = MeshGenerator(
+                    eval_fn, **getattr(self.pipe, "generation_kwargs", {})
+                )
                 verts, tris = gen.generate()
                 meshes.append((verts, tris))
                 _save_off(os.path.join(out_dir, f"mesh_{i}.off"), verts, tris)

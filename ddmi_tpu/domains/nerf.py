@@ -105,34 +105,56 @@ class NeRFPipeline:
 
     def __post_init__(self):
         m = self.cfg.model
-        enc = m.extra.get("pointnet", {}) if isinstance(m.extra, dict) else {}
-        self.pointnet = LocalPoolPointnet(
-            c_dim=enc.get("c_dim", m.ddconfig.in_channels),
-            hidden_dim=enc.get("hidden_dim", 256),
-            plane_resolution=enc.get("plane_resolution", m.ddconfig.resolution),
-            n_blocks=enc.get("n_blocks", 7),
-        )
+        # pointnet + render kwargs from the nested convocc YAML
+        # (data.conv_config -> convocc/src/config.py:13-58 inherit_from tree,
+        # model.TN block of srncars_nerf_3plane.yaml); model.extra /
+        # mlpconfig.extra remain config-free overrides for tests.
+        self.conv_cfg = None
+        tn = {}
+        if self.cfg.data.conv_config:
+            from ddmi_tpu.core.convocc_config import (
+                load_convocc_config,
+                nerf_kwargs,
+                pointnet_kwargs,
+            )
+
+            self.conv_cfg = load_convocc_config(self.cfg.data.conv_config)
+            pk = pointnet_kwargs(self.conv_cfg)
+            tn = nerf_kwargs(self.conv_cfg)
+        else:
+            enc = m.extra.get("pointnet", {}) if isinstance(m.extra, dict) else {}
+            pk = {
+                "c_dim": enc.get("c_dim", m.ddconfig.in_channels),
+                "hidden_dim": enc.get("hidden_dim", 256),
+                "plane_resolution": enc.get(
+                    "plane_resolution", m.ddconfig.resolution
+                ),
+                "n_blocks": enc.get("n_blocks", 7),
+            }
+        self.pointnet = LocalPoolPointnet(**pk)
         self.vae = TriplaneAutoencoder(m.ddconfig, embed_dim=m.embed_dim)
         mc = m.mlpconfig.extra if isinstance(m.mlpconfig.extra, dict) else {}
-        self.embed_xyz = FreqEmbedding(mc.get("multires", 10))
-        self.embed_dir = FreqEmbedding(mc.get("multires_views", 4))
+        multires = tn.get("multires", mc.get("multires", 10))
+        multires_views = tn.get("multires_views", mc.get("multires_views", 4))
+        self.embed_xyz = FreqEmbedding(multires)
+        self.embed_dir = FreqEmbedding(multires_views)
         latent_dim = 3 * m.ddconfig.out_ch
-        in_xyz = latent_dim + 3 * (2 * mc.get("multires", 10) + 1)
+        in_xyz = latent_dim + 3 * (2 * multires + 1)
         self.mlp = INRNeRF(
             depth=mc.get("D", 6),
             width=mc.get("W", 256),
             in_channels_xyz=in_xyz,
-            in_channels_dir=3 * (2 * mc.get("multires_views", 4) + 1),
+            in_channels_dir=3 * (2 * multires_views + 1),
             skips=tuple(mc.get("skips", (2, 4))),
         )
         dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32
         self.unet = UNet(m.unetconfig, dtype=dtype)
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
-        self.n_samples = mc.get("N_samples", 256)
-        self.n_rand = mc.get("N_rand", 5000)
-        self.white_bkgd = mc.get("white_bkgd", True)
-        self.perturb = mc.get("perturb", 1.0)
+        self.n_samples = tn.get("N_samples", mc.get("N_samples", 256))
+        self.n_rand = tn.get("N_rand", mc.get("N_rand", 5000))
+        self.white_bkgd = tn.get("white_bkgd", mc.get("white_bkgd", True))
+        self.perturb = tn.get("perturb", mc.get("perturb", 1.0))
         self.latent_res = m.ddconfig.resolution // 2 ** (len(m.ddconfig.ch_mult) - 1)
         self.img_res = self.cfg.data.extra.get("resolution", 128) \
             if isinstance(self.cfg.data.extra, dict) else 128
@@ -238,25 +260,37 @@ class NeRFPipeline:
         """20*sum|rgb - target| over sampled rays + KL + SN
         (tools/d2c_vae/nerf.py:215-238)."""
         lc = self.lc
-        rng_enc, rng_ray, rng_pix = jax.random.split(rng, 3)
-        cloud = batch["points"]       # (1, n, 6)
-        image = batch["image"]        # (1, H, W, 3) target view in [0,1]
-        pose = batch["pose"]          # (1, 4, 4)
+        rng_enc, rng_scene = jax.random.split(rng)
+        cloud = batch["points"]       # (b, n, 6)
+        image = batch["image"]        # (b, H, W, 3) target views in [0,1]
+        pose = batch["pose"]          # (b, 4, 4)
+        b = cloud.shape[0]
 
         z, posts = self.encode_planes(params, cloud, rng_enc)
         planes = self.decode_planes({"vae": params["vae"]}, z)
 
         H, W = image.shape[1:3]
-        rays_o, rays_d = get_rays(H, W, pose[0])
-        idx = jax.random.choice(
-            rng_pix, H * W, (self.n_rand,), replace=False
-        )
-        ro = rays_o.reshape(-1, 3)[idx]
-        rd = rays_d.reshape(-1, 3)[idx]
-        target = image[0].reshape(-1, 3)[idx]
 
-        rgb = self.render_rays(params["mlp"], planes, ro, rd, rng_ray)
-        recon = 20.0 * jnp.sum(jnp.abs(rgb - target))
+        # vmap the ray-sampled render per scene: each scene draws its own
+        # rays from its own pose (the reference trains at batch 1/GPU,
+        # tools/d2c_vae/nerf.py:184-192 + srn_cars.yaml batch_size 1; here
+        # batching is the TPU-native way to fill the chip)
+        def per_scene(planes_1, image_1, pose_1, rng_1):
+            rng_pix, rng_ray = jax.random.split(rng_1)
+            planes_1 = jax.tree_util.tree_map(lambda a: a[None], planes_1)
+            rays_o, rays_d = get_rays(H, W, pose_1)
+            idx = jax.random.choice(
+                rng_pix, H * W, (self.n_rand,), replace=False
+            )
+            ro = rays_o.reshape(-1, 3)[idx]
+            rd = rays_d.reshape(-1, 3)[idx]
+            target = image_1.reshape(-1, 3)[idx]
+            rgb = self.render_rays(params["mlp"], planes_1, ro, rd, rng_ray)
+            return 20.0 * jnp.sum(jnp.abs(rgb - target))
+
+        recon = jax.vmap(per_scene)(
+            planes, image, pose, jax.random.split(rng_scene, b)
+        ).mean()
 
         kld = sum(p.kl() for p in posts).mean()
         total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)

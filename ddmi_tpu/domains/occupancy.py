@@ -34,14 +34,33 @@ class OccupancyPipeline:
 
     def __post_init__(self):
         m = self.cfg.model
-        # convocc encoder kwargs (convocc/configs/pointcloud/shapenet_3plane.yaml)
-        enc = m.extra.get("pointnet", {}) if isinstance(m.extra, dict) else {}
-        self.pointnet = LocalPoolPointnet(
-            c_dim=enc.get("c_dim", m.ddconfig.in_channels),
-            hidden_dim=enc.get("hidden_dim", 256),
-            plane_resolution=enc.get("plane_resolution", m.ddconfig.resolution),
-            n_blocks=enc.get("n_blocks", 7),
-        )
+        # Encoder/generation kwargs come from the nested convocc YAML tree
+        # referenced by data.conv_config (reference convocc/src/config.py:13-58
+        # via configs/ldm/shapenet.yaml:80); model.extra["pointnet"] remains a
+        # config-free override for tests.
+        self.conv_cfg = None
+        self.generation_kwargs = {}
+        if self.cfg.data.conv_config:
+            from ddmi_tpu.core.convocc_config import (
+                generation_kwargs,
+                load_convocc_config,
+                pointnet_kwargs,
+            )
+
+            self.conv_cfg = load_convocc_config(self.cfg.data.conv_config)
+            pk = pointnet_kwargs(self.conv_cfg)
+            self.generation_kwargs = generation_kwargs(self.conv_cfg)
+        else:
+            enc = m.extra.get("pointnet", {}) if isinstance(m.extra, dict) else {}
+            pk = {
+                "c_dim": enc.get("c_dim", m.ddconfig.in_channels),
+                "hidden_dim": enc.get("hidden_dim", 256),
+                "plane_resolution": enc.get(
+                    "plane_resolution", m.ddconfig.resolution
+                ),
+                "n_blocks": enc.get("n_blocks", 7),
+            }
+        self.pointnet = LocalPoolPointnet(**pk)
         self.vae = TriplaneAutoencoder(m.ddconfig, embed_dim=m.embed_dim)
         self.mlp = INR3D(m.mlpconfig)
         dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32

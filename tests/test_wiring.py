@@ -173,3 +173,40 @@ def test_video_adversarial_step(np_rng):
     )(state, x, jax.random.PRNGKey(1))
     assert "d_loss" in metrics
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_convocc_config_wiring_occupancy():
+    """data.conv_config loads the nested convocc YAML into pointnet +
+    generation kwargs (reference convocc/src/config.py:13-58); the shipped
+    shapenet configs must not depend on model.extra defaults."""
+    from ddmi_tpu.core.config import load_config
+    from ddmi_tpu.domains.occupancy import OccupancyPipeline
+
+    cfg = load_config("configs/d2c-vae/shapenet.yaml")
+    assert cfg.data.conv_config
+    pipe = OccupancyPipeline(cfg)
+    assert pipe.conv_cfg is not None
+    # values from configs/convocc/pointcloud/shapenet_3plane.yaml
+    assert pipe.pointnet.c_dim == 32
+    assert pipe.pointnet.hidden_dim == 256
+    assert pipe.pointnet.plane_resolution == 64
+    assert pipe.pointnet.n_blocks == 7
+    assert pipe.generation_kwargs["resolution0"] == 64
+    assert pipe.generation_kwargs["upsampling_steps"] == 2
+    assert pipe.generation_kwargs["threshold"] == 0.2
+
+
+def test_convocc_config_wiring_nerf():
+    """srn_cars configs route the model.TN block into render params."""
+    from ddmi_tpu.core.config import load_config
+    from ddmi_tpu.domains.nerf import NeRFPipeline
+
+    cfg = load_config("configs/ldm/srn_cars.yaml")
+    pipe = NeRFPipeline(cfg)
+    assert pipe.conv_cfg is not None
+    assert pipe.n_samples == 256
+    assert pipe.n_rand == 5000
+    assert pipe.white_bkgd is True
+    assert pipe.embed_xyz.n_freqs == 10
+    assert pipe.embed_dir.n_freqs == 4
+    assert pipe.perturb == 1  # 'peturb' typo key preserved from reference
