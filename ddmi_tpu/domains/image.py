@@ -85,6 +85,12 @@ class ImagePipeline:
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
         self.anchor = m.ddconfig.resolution  # 256
+        # Fused Pallas render (ops/pallas/inr_decode.py): 2.6-3.5x faster than
+        # the XLA matmul path on TPU (ops/pallas/BENCH.md); opt out with
+        # model.extra["fused_render"] = False.
+        self.use_fused_render = bool(
+            m.extra.get("fused_render", jax.default_backend() == "tpu")
+        ) if isinstance(m.extra, dict) else jax.default_backend() == "tpu"
         if self.lc.adversarial:
             from ddmi_tpu.losses.gan import GANLoss2D
 
@@ -455,7 +461,20 @@ class ImagePipeline:
         """Tiled INR render at a regular res x res grid: lax.map over row
         chunks bounds peak memory (the whole 256^2+ token set would otherwise
         hold ~10 activation tensors live at once; chunking replaces the
-        reference's host-side netchunk loops, SURVEY.md §5)."""
+        reference's host-side netchunk loops, SURVEY.md §5).
+
+        On TPU the fused Pallas kernel takes over (use_fused_render): the
+        whole styled MLP runs from VMEM per token tile — 2.6-3.5x faster
+        (ops/pallas/BENCH.md)."""
+        if self.use_fused_render:
+            from ddmi_tpu.ops.pallas import render_tokens_fused
+
+            c = self.cfg.model.mlpconfig
+            seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+            return render_tokens_fused(
+                mlp_params, hdbf, res, si, seed,
+                ch=c.ch, in_ch=c.in_ch, out_ch=c.out_ch,
+            )
         lin = pixel_center_lin(res).astype(hdbf[0].dtype)
         rows_per = max(1, min(res, chunk_tokens // res))
         while res % rows_per:

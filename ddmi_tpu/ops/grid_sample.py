@@ -50,6 +50,9 @@ def grid_sample_2d(
       (B, N, C) sampled features.
     """
     B, H, W, C = feat.shape
+    # index math always in fp32: bf16 coords lose whole pixels at sizes
+    # >= 256 (see ops/resample.interp_matrix_1d)
+    grid = grid.astype(jnp.float32)
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
 

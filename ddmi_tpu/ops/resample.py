@@ -26,7 +26,14 @@ def interp_matrix_1d(
     coords: jnp.ndarray, size: int, align_corners: bool = False,
     padding_mode: str = "border",
 ) -> jnp.ndarray:
-    """(n, size) bilinear interpolation matrix for 1D coords in [-1, 1]."""
+    """(n, size) bilinear interpolation matrix for 1D coords in [-1, 1].
+
+    Coordinate math always runs in fp32 — `(coords + 1) * size` at bf16 has a
+    1.0 ULP near size=256, which rounds pixel indices to the wrong cell (and
+    eager-vs-jit diverge under --xla_allow_excess_precision).  The returned
+    matrix is cast back to the caller's dtype for the MXU matmuls."""
+    out_dtype = coords.dtype
+    coords = coords.astype(jnp.float32)
     if align_corners:
         px = (coords + 1.0) * 0.5 * (size - 1)
     else:
@@ -50,7 +57,7 @@ def interp_matrix_1d(
         in0 = ((x0 >= 0) & (x0 <= size - 1)).astype(coords.dtype)
         in1 = ((x1 >= 0) & (x1 <= size - 1)).astype(coords.dtype)
         m = eye[x0c] * ((1.0 - w1) * in0)[:, None] + eye[x1c] * (w1 * in1)[:, None]
-    return m
+    return m.astype(out_dtype)
 
 
 def separable_grid_sample(
