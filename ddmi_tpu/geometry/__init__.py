@@ -38,11 +38,11 @@ def lib() -> ctypes.CDLL:
     i64p = ctypes.POINTER(i64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
 
-    L.marching_cubes_run.restype = i64
+    L.marching_cubes_run.restype = i64  # opaque result handle
     L.marching_cubes_run.argtypes = [f64p, i64, i64, i64, ctypes.c_double,
                                      i64p, i64p]
     L.marching_cubes_get.restype = i64
-    L.marching_cubes_get.argtypes = [f64p, i64p]
+    L.marching_cubes_get.argtypes = [i64, f64p, i64p]
     L.mise_create.restype = i64
     L.mise_create.argtypes = [i64, i64, ctypes.c_double]
     L.mise_destroy.argtypes = [i64]
@@ -50,11 +50,11 @@ def lib() -> ctypes.CDLL:
     L.mise_query.argtypes = [i64, i64p, i64]
     L.mise_update.argtypes = [i64, i64p, f64p, i64]
     L.mise_to_dense.argtypes = [i64, f64p]
-    L.mesh_simplify_run.restype = i64
+    L.mesh_simplify_run.restype = i64  # opaque result handle
     L.mesh_simplify_run.argtypes = [f64p, i64, i64p, i64, i64,
                                     ctypes.c_double, i64p, i64p]
     L.mesh_simplify_get.restype = i64
-    L.mesh_simplify_get.argtypes = [f64p, i64p]
+    L.mesh_simplify_get.argtypes = [i64, f64p, i64p]
     L.kdtree_build.restype = i64
     L.kdtree_build.argtypes = [f64p, i64]
     L.kdtree_query.argtypes = [i64, f64p, i64, f64p, i64p]
@@ -91,19 +91,14 @@ def marching_cubes(values: np.ndarray, iso: float) -> Tuple[np.ndarray, np.ndarr
     L = lib()
     v = _f64(values)
     nv, nt = ctypes.c_int64(), ctypes.c_int64()
-    L.marching_cubes_run(
+    handle = L.marching_cubes_run(
         _fp(v), v.shape[0], v.shape[1], v.shape[2], float(iso),
         ctypes.byref(nv), ctypes.byref(nt),
     )
-    verts = np.empty((nv.value, 3), np.float64)
-    tris = np.empty((nt.value, 3), np.int64)
-    if nv.value:
-        L.marching_cubes_get(_fp(verts), _ip(tris))
-    else:
-        L.marching_cubes_get(
-            _fp(np.empty((1, 3))), _ip(np.empty((1, 3), np.int64))
-        )
-    return verts, tris
+    verts = np.empty((max(nv.value, 1), 3), np.float64)
+    tris = np.empty((max(nt.value, 1), 3), np.int64)
+    L.marching_cubes_get(handle, _fp(verts), _ip(tris))
+    return verts[: nv.value], tris[: nt.value]
 
 
 class MISE:
@@ -148,13 +143,13 @@ def simplify_mesh(
     v = _f64(vertices)
     t = _i64(faces)
     nv, nt = ctypes.c_int64(), ctypes.c_int64()
-    L.mesh_simplify_run(
+    handle = L.mesh_simplify_run(
         _fp(v), v.shape[0], _ip(t), t.shape[0], int(f_target),
         float(aggressiveness), ctypes.byref(nv), ctypes.byref(nt),
     )
     verts = np.empty((max(nv.value, 1), 3), np.float64)
     tris = np.empty((max(nt.value, 1), 3), np.int64)
-    L.mesh_simplify_get(_fp(verts), _ip(tris))
+    L.mesh_simplify_get(handle, _fp(verts), _ip(tris))
     return verts[: nv.value], tris[: nt.value]
 
 

@@ -158,15 +158,13 @@ static void DoTet(MeshAccum* m, const uint64_t gid[4], const V3 p[4],
 
 // Extract iso-surface from a dense grid `values` of shape (nx, ny, nz),
 // C-order (x-major as numpy default: index = (x*ny + y)*nz + z).
-// Returns counts; call marching_cubes_get to copy data out.
-static MeshAccum* g_mc_result = nullptr;
-
+// Writes counts, returns an opaque handle; call marching_cubes_get(handle)
+// to copy data out and free it (re-entrant: concurrent runs each own their
+// result).
 int64_t marching_cubes_run(const double* values, int64_t nx, int64_t ny,
                            int64_t nz, double iso, int64_t* n_verts,
                            int64_t* n_tris) {
-  delete g_mc_result;
-  g_mc_result = new MeshAccum();
-  MeshAccum* m = g_mc_result;
+  MeshAccum* m = new MeshAccum();
 
   auto val = [&](int64_t x, int64_t y, int64_t z) {
     return values[(x * ny + y) * nz + z];
@@ -209,17 +207,16 @@ int64_t marching_cubes_run(const double* values, int64_t nx, int64_t ny,
   }
   *n_verts = (int64_t)(m->verts.size() / 3);
   *n_tris = (int64_t)(m->tris.size() / 3);
-  return 0;
+  return (int64_t)(intptr_t)m;
 }
 
-int64_t marching_cubes_get(double* verts_out, int64_t* tris_out) {
-  if (!g_mc_result) return -1;
-  std::memcpy(verts_out, g_mc_result->verts.data(),
-              g_mc_result->verts.size() * sizeof(double));
-  std::memcpy(tris_out, g_mc_result->tris.data(),
-              g_mc_result->tris.size() * sizeof(int64_t));
-  delete g_mc_result;
-  g_mc_result = nullptr;
+int64_t marching_cubes_get(int64_t handle, double* verts_out,
+                           int64_t* tris_out) {
+  MeshAccum* m = (MeshAccum*)(intptr_t)handle;
+  if (!m) return -1;
+  std::memcpy(verts_out, m->verts.data(), m->verts.size() * sizeof(double));
+  std::memcpy(tris_out, m->tris.data(), m->tris.size() * sizeof(int64_t));
+  delete m;
   return 0;
 }
 
@@ -418,11 +415,14 @@ struct Quadric {
 
 }  // namespace
 
-static std::vector<double> g_simp_verts;
-static std::vector<int64_t> g_simp_tris;
+struct SimpResult {
+  std::vector<double> verts;
+  std::vector<int64_t> tris;
+};
 
 // Simplify to approximately target_tris triangles; aggressiveness as in
-// Fast-Quadric (threshold grows per pass).
+// Fast-Quadric (threshold grows per pass).  Writes counts, returns an opaque
+// handle for mesh_simplify_get (re-entrant).
 int64_t mesh_simplify_run(const double* verts, int64_t nv,
                           const int64_t* tris, int64_t nt,
                           int64_t target_tris, double aggressiveness,
@@ -507,8 +507,7 @@ int64_t mesh_simplify_run(const double* verts, int64_t nv,
   }
 
   // compact output
-  g_simp_verts.clear();
-  g_simp_tris.clear();
+  SimpResult* res = new SimpResult();
   std::unordered_map<int64_t, int64_t> vmap;
   for (int64_t i = 0; i < nt; i++) {
     if (dead_tri[i]) continue;
@@ -517,30 +516,34 @@ int64_t mesh_simplify_run(const double* verts, int64_t nv,
       int64_t v = find(T[i][k]);
       auto it = vmap.find(v);
       if (it == vmap.end()) {
-        int64_t ni = (int64_t)(g_simp_verts.size() / 3);
+        int64_t ni = (int64_t)(res->verts.size() / 3);
         vmap.emplace(v, ni);
-        g_simp_verts.push_back(V[v][0]);
-        g_simp_verts.push_back(V[v][1]);
-        g_simp_verts.push_back(V[v][2]);
+        res->verts.push_back(V[v][0]);
+        res->verts.push_back(V[v][1]);
+        res->verts.push_back(V[v][2]);
         idx[k] = ni;
       } else {
         idx[k] = it->second;
       }
     }
-    g_simp_tris.push_back(idx[0]);
-    g_simp_tris.push_back(idx[1]);
-    g_simp_tris.push_back(idx[2]);
+    res->tris.push_back(idx[0]);
+    res->tris.push_back(idx[1]);
+    res->tris.push_back(idx[2]);
   }
-  *out_nv = (int64_t)(g_simp_verts.size() / 3);
-  *out_nt = (int64_t)(g_simp_tris.size() / 3);
-  return 0;
+  *out_nv = (int64_t)(res->verts.size() / 3);
+  *out_nt = (int64_t)(res->tris.size() / 3);
+  return (int64_t)(intptr_t)res;
 }
 
-int64_t mesh_simplify_get(double* verts_out, int64_t* tris_out) {
-  std::memcpy(verts_out, g_simp_verts.data(),
-              g_simp_verts.size() * sizeof(double));
-  std::memcpy(tris_out, g_simp_tris.data(),
-              g_simp_tris.size() * sizeof(int64_t));
+int64_t mesh_simplify_get(int64_t handle, double* verts_out,
+                          int64_t* tris_out) {
+  SimpResult* res = (SimpResult*)(intptr_t)handle;
+  if (!res) return -1;
+  std::memcpy(verts_out, res->verts.data(),
+              res->verts.size() * sizeof(double));
+  std::memcpy(tris_out, res->tris.data(),
+              res->tris.size() * sizeof(int64_t));
+  delete res;
   return 0;
 }
 

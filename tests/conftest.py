@@ -11,14 +11,22 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Tests are compile-time-bound (100+ jitted train-step graphs); generated-code
+# speed is irrelevant on the virtual CPU backend, so turn the optimizer off —
+# cuts suite wall time >2x.
+if "xla_backend_optimization_level" not in flags:
+    flags += (
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_disable_most_optimizations", True)
 
 import numpy as np
 import pytest
