@@ -49,9 +49,10 @@ def build_dataset(cfg, train: bool = True):
             process_index=jax.process_index(),
         )
     if cfg.data.domain == "video":
-        from ddmi_tpu.data.video import VideoFrameFolderDataset
+        from ddmi_tpu.data.video import make_video_dataset
 
-        return VideoFrameFolderDataset(
+        return make_video_dataset(
+            d.dataset if d.dataset != "folder" else "sky",
             root, d.batch_size if train else d.test_batch_size,
             frames=d.frames, resolution=anchor,
         )

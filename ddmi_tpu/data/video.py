@@ -142,3 +142,86 @@ class SyntheticVideos:
                              + fx * yy[None, None, :, :, None] + vt * tgrid)
             )
             yield img.astype(np.float32)
+
+
+class UCF101VideoDataset:
+    """UCF101-style .avi/.mp4 clips decoded with PyAV, mirroring the
+    reference's UCF101 branch (utils/videoloader.py:152-306): per-video
+    random temporal crop of `frames` consecutive frames, center-crop +
+    resize, [0,1] NTHWC batches.
+
+    PyAV is an optional dependency (absent from this image) — construction
+    raises a clear ImportError when it is missing; the frame-folder path
+    (VideoFrameFolderDataset) is the supported fallback."""
+
+    def __init__(self, root: str, batch_size: int, frames: int = 16,
+                 resolution: int = 256, shuffle: bool = True, seed: int = 0):
+        try:
+            import av  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env has no av
+            raise ImportError(
+                "UCF101VideoDataset needs PyAV (`av`), which is not available "
+                "in this environment; decode videos to frame folders and use "
+                "VideoFrameFolderDataset instead"
+            ) from e
+        self.root = root
+        self.batch_size = batch_size
+        self.frames = frames
+        self.resolution = resolution
+        self.shuffle = shuffle
+        self.seed = seed
+        self.files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if os.path.splitext(f)[1].lower() in (".avi", ".mp4", ".mkv")
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no video files under {root}")
+
+    def __len__(self):
+        return max(1, len(self.files) // self.batch_size)
+
+    def _decode(self, path: str, rng: np.random.Generator) -> np.ndarray:
+        import av
+        from PIL import Image
+
+        with av.open(path) as container:
+            stream = container.streams.video[0]
+            imgs = [f.to_image() for f in container.decode(stream)]
+        if len(imgs) < self.frames:
+            imgs = imgs + [imgs[-1]] * (self.frames - len(imgs))
+        start = int(rng.integers(0, len(imgs) - self.frames + 1))
+        out = []
+        r = self.resolution
+        for im in imgs[start : start + self.frames]:
+            w, h = im.size
+            s = min(w, h)
+            im = im.crop(((w - s) // 2, (h - s) // 2,
+                          (w + s) // 2, (h + s) // 2))
+            im = im.resize((r, r), Image.BILINEAR)
+            out.append(np.asarray(im, np.float32) / 255.0)
+        return np.stack(out)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            rng.shuffle(order)
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield np.stack([self._decode(self.files[j], rng) for j in idx])
+
+
+def make_video_dataset(name: str, root: str, batch_size: int,
+                       frames: int = 16, resolution: int = 256, **kw):
+    """Reference dispatch (exp/stage.py 'SKY'/'UCF101' branches):
+    'sky' / 'folder' -> frame folders, 'ucf101' -> PyAV decoding."""
+    name = name.lower()
+    if name in ("sky", "skytimelapse", "folder"):
+        return VideoFrameFolderDataset(root, batch_size, frames=frames,
+                                       resolution=resolution, **kw)
+    if name == "ucf101":
+        return UCF101VideoDataset(root, batch_size, frames=frames,
+                                  resolution=resolution, **kw)
+    raise NotImplementedError(f"video dataset '{name}'")

@@ -85,6 +85,10 @@ class ImagePipeline:
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
         self.anchor = m.ddconfig.resolution  # 256
+        # model.amp: bf16 compute for the stage-1 VAE/INR forward (fp32
+        # master params + fp32 loss reductions, core/amp.py) — the reference
+        # runs the same region under accelerator.autocast()
+        self.amp = bool(m.amp)
         # Fused Pallas render (ops/pallas/inr_decode.py): 2.6-3.5x faster than
         # the XLA matmul path on TPU (ops/pallas/BENCH.md); opt out with
         # model.extra["fused_render"] = False.
@@ -178,6 +182,8 @@ class ImagePipeline:
     def stage1_loss(self, params, sn_state, x, rng, step):
         """Multiscale recon + KL(annealed) + LPIPS + SN-reg
         (tools/d2c_vae/image.py:177-233)."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
         lc = self.lc
         rng_ms, rng_post, rng_noise = jax.random.split(rng, 3)
         x = symmetrize(x)
@@ -186,23 +192,28 @@ class ImagePipeline:
         )
         b, res = target.shape[0], target.shape[1]
 
+        # bf16 compute region (fp32 master params; coords stay fp32)
+        p_vae = compute_cast(params["vae"], self.amp)
+        p_mlp = compute_cast(params["mlp"], self.amp)
+        y = compute_cast(y, self.amp)
+
         posterior = self.vae.apply(
-            {"params": params["vae"]}, y, method=self.vae.encode
+            {"params": p_vae}, y, method=self.vae.encode
         )
         z = posterior.sample(rng_post)
         hdbf = self.vae.apply(
-            {"params": params["vae"]}, z, method=self.vae.decode
+            {"params": p_vae}, z, method=self.vae.decode
         )
         out_tok = self.mlp.apply(
-            {"params": params["mlp"]},
+            {"params": p_mlp},
             coords.reshape(1, res * res, 2),
             hdbf,
             scale,
             rngs={"noise": rng_noise},
         )
-        output = out_tok.reshape(b, res, res, -1)
+        output = f32(out_tok).reshape(b, res, res, -1)
 
-        kld = posterior.kl().mean()
+        kld = f32(posterior.kl()).mean()
         total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
         if lc.kl_anneal:
             kl_coeff = linear_kl_coeff(
@@ -405,12 +416,17 @@ class ImagePipeline:
 
     def encode_latents(self, stage1_params, x, rng):
         """Frozen stage-1 encode (tools/ldm/image.py:152-158): resize-256,
-        posterior sample, stop_gradient."""
+        posterior sample, stop_gradient.  Runs bf16 under model.amp (frozen —
+        no gradient precision concern)."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
         y = jnp.clip(resize_antialias(symmetrize(x), self.anchor), -1, 1)
         posterior = self.vae.apply(
-            {"params": stage1_params["vae"]}, y, method=self.vae.encode
+            {"params": compute_cast(stage1_params["vae"], self.amp)},
+            compute_cast(y, self.amp),
+            method=self.vae.encode,
         )
-        return jax.lax.stop_gradient(posterior.sample(rng))
+        return jax.lax.stop_gradient(f32(posterior.sample(rng)))
 
     def stage2_loss(self, params, stage1_params, x, rng):
         rng_enc, rng_diff, rng_mask = jax.random.split(rng, 3)

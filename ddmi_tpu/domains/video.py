@@ -132,21 +132,28 @@ class VideoPipeline:
     def stage1_loss(self, params, sn_state, x, rng, step):
         """Full-clip L1 recon + per-frame LPIPS + summed triplane KL + SN-reg
         (tools/d2c_vae/video.py:190-242)."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
         lc = self.lc
         rng_post, rng_frame = jax.random.split(rng)
         x = symmetrize(x)  # (b, t, h, w, 3)
         b, t = x.shape[0], x.shape[1]
 
+        # bf16 compute region when model.amp (core/amp.py); coords fp32
+        amp = bool(self.cfg.model.amp)
+        p_vae = compute_cast(params["vae"], amp)
+        p_mlp = compute_cast(params["mlp"], amp)
+
         (hdbf, posts) = self.vae.apply(
-            {"params": params["vae"]}, x, rng_post, sample_posterior=True,
-            deterministic=True,
+            {"params": p_vae}, compute_cast(x, amp), rng_post,
+            sample_posterior=True, deterministic=True,
         )
         coords = video_axes(t, self.res, self.res)
-        out_tok = self.mlp.apply({"params": params["mlp"]}, coords, hdbf)
-        output = out_tok.reshape(b, t, self.res, self.res, -1)
+        out_tok = self.mlp.apply({"params": p_mlp}, coords, hdbf)
+        output = f32(out_tok).reshape(b, t, self.res, self.res, -1)
 
         recon = jnp.abs(output - x).sum(axis=(1, 2, 3, 4)).mean()
-        kld = sum(p.kl() for p in posts).mean()
+        kld = sum(f32(p.kl()) for p in posts).mean()
         total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
         if lc.kl_anneal:
             kl_coeff = linear_kl_coeff(

@@ -73,6 +73,16 @@ class FIDScorer:
         mu_f, s_f = activation_statistics(self.features(fake))
         return frechet_distance(mu_r, s_r, mu_f, s_f)
 
+    def fid_against_stats(
+        self, fake: Iterable[np.ndarray], stats_path: str
+    ) -> float:
+        """FID vs precomputed (mu, sigma) statistics — the reference's
+        load_statistics path (evals/fid/fid_score.py; stats produced by
+        ddmi_tpu.cli.precompute_fid)."""
+        stats = np.load(stats_path)
+        mu_f, s_f = activation_statistics(self.features(fake))
+        return frechet_distance(stats["mu"], stats["sigma"], mu_f, s_f)
+
 
 def test_rfid(
     scorer: FIDScorer,

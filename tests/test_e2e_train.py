@@ -7,6 +7,10 @@ import os
 import numpy as np
 import pytest
 
+# full two-stage train->checkpoint->resume->generate: the heaviest fixture
+# in the suite; the same flow is driven faster through the CLI smokes
+pytestmark = pytest.mark.slow
+
 import jax
 
 import sys

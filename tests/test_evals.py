@@ -97,6 +97,7 @@ def test_frechet_distance_gaussian_golden():
     assert frechet_distance(mu1, s1, mu2, s2) == pytest.approx(expected, rel=1e-9)
 
 
+@pytest.mark.slow
 def test_inception_forward_shapes(np_rng):
     from ddmi_tpu.evals.inception import InceptionV3
 

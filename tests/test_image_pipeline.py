@@ -94,6 +94,7 @@ def test_stage2_train_and_sample(pipe, np_rng):
     assert np.isfinite(np.asarray(imgs)).all()
 
 
+@pytest.mark.slow
 def test_stage1_multiscale_branch(np_rng):
     pipe = ImagePipeline(tiny_config(multiscale=True))
     state = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)
@@ -105,6 +106,7 @@ def test_stage1_multiscale_branch(np_rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_stage2(pipe, np_rng):
     """DP over the 8-device CPU mesh: batch sharded on 'data', params
     replicated; grads all-reduce inside jit via XLA collectives."""

@@ -112,6 +112,7 @@ def test_sample_triplane_shapes(np_rng):
     assert out.shape == (10, 5, 24)
 
 
+@pytest.mark.slow
 def test_nerf_stage1_step(npipe):
     batch = {k: jnp.asarray(v) for k, v in next(iter(SyntheticNeRF())).items()}
     state = npipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)
@@ -123,6 +124,7 @@ def test_nerf_stage1_step(npipe):
         assert np.isfinite(float(v)), (k, v)
 
 
+@pytest.mark.slow
 def test_nerf_stage2_step(npipe):
     batch = {k: jnp.asarray(v) for k, v in next(iter(SyntheticNeRF())).items()}
     s1 = npipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)
@@ -133,6 +135,7 @@ def test_nerf_stage2_step(npipe):
     assert np.isfinite(float(aux["loss"]))
 
 
+@pytest.mark.slow
 def test_nerf_render_image(npipe):
     batch = {k: jnp.asarray(v) for k, v in next(iter(SyntheticNeRF())).items()}
     s1 = npipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)

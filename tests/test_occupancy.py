@@ -83,6 +83,7 @@ def test_pointnet_scatter_semantics(np_rng):
     assert nonzero.sum() == 1
 
 
+@pytest.mark.slow
 def test_stage1_step_and_overfit_signal(opipe):
     data = iter(SyntheticOccupancy(2, n_points=128, n_cloud=200))
     batch = {k: jnp.asarray(v) for k, v in next(data).items()}
@@ -95,6 +96,7 @@ def test_stage1_step_and_overfit_signal(opipe):
     assert float(m1["bce"]) > 0
 
 
+@pytest.mark.slow
 def test_stage2_step_and_latent_sample(opipe):
     data = iter(SyntheticOccupancy(2, n_points=64, n_cloud=200))
     batch = {k: jnp.asarray(v) for k, v in next(data).items()}

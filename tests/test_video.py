@@ -81,6 +81,7 @@ def test_video_vae_shapes(vpipe, np_rng):
     ]
 
 
+@pytest.mark.slow
 def test_video_stage1_step(vpipe, np_rng):
     state = vpipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=4)
     tx = vpipe.stage1_optimizer(4)
@@ -139,6 +140,7 @@ def test_video_inr_three_level(np_rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_video_stage2_step_and_sample(np_rng):
     """Stage-2 over video latents with a 3-level stage-1 config."""
     cfg = tiny_video_config()

@@ -52,6 +52,7 @@ def tiny_cfg(adversarial=False, dit=False, **loss_kw):
     return Config(model=model, data=DataConfig(test_resolution=16, batch_size=2))
 
 
+@pytest.mark.slow
 def test_adversarial_stage1_step_trains_both_players(np_rng):
     """*_gan.yaml-style config exercises the GAN branch: disc state exists,
     d_loss is computed, and BOTH parameter sets move
@@ -94,6 +95,7 @@ def test_gan_yaml_config_reaches_adversarial_branch(tmp_path):
     assert pipe.gan is not None
 
 
+@pytest.mark.slow
 def test_dit_config_selects_mdt(np_rng):
     """model.DiT dispatches MDTv2 as the stage-2 denoiser
     (reference exp/stage.py:196-199)."""
@@ -118,6 +120,7 @@ def test_dit_config_selects_mdt(np_rng):
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_lpips_wired_into_stage1_metrics(np_rng):
     """CLI-built pipelines pass perceptual_fn; metrics carry nonzero lpips
     (reference always trains stage-1 image with LPIPS,
@@ -141,6 +144,7 @@ def test_lpips_wired_into_stage1_metrics(np_rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_video_adversarial_step(np_rng):
     """skytimelapse_gan-style config: 2D+3D discriminator pair updates."""
     import dataclasses
