@@ -277,9 +277,14 @@ def ddim_sample(
         )
         c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
 
-        rng, rng_noise = jax.random.split(rng)
-        step_noise = jax.random.normal(rng_noise, img.shape, img.dtype)
-        img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * step_noise
+        img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise
+        if eta != 0.0:
+            # sigma is a traced value, so the PRNG below would survive DCE
+            # even when eta == 0 — gate it statically (the default DDIM
+            # protocol is deterministic, ddim_sampling_eta: 0)
+            rng, rng_noise = jax.random.split(rng)
+            step_noise = jax.random.normal(rng_noise, img.shape, img.dtype)
+            img_next = img_next + sigma * step_noise
         # final step (time_next < 0): return x_start (ddpm.py:353-355)
         img_next = jnp.where(time_next < 0, x_start, img_next)
         return (img_next, rng), None

@@ -43,7 +43,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         C = self.out_channels
-        h = nn.GroupNorm(32, epsilon=1e-5, name="norm_in")(x)
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(h)
 
@@ -56,11 +56,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+            h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
             h = h * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+            h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -76,7 +76,12 @@ class ResBlock(nn.Module):
 
 class AttentionBlock(nn.Module):
     """Self-attention over flattened spatial tokens (openaimodel.py:283-427).
-    Softmax in fp32 regardless of compute dtype."""
+    Softmax in fp32 regardless of compute dtype.
+
+    On TPU at seq >= 512 the Pallas flash-attention kernel takes over: the
+    dense path materializes an f32[B, heads, n, n] matrix (0.5 GB per block
+    at 32x32 resolution) — profiled as the single largest HBM consumer of the
+    denoiser forward."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
@@ -86,15 +91,32 @@ class AttentionBlock(nn.Module):
         B, H, W, C = x.shape
         nh = self.num_heads
         hd = C // nh
-        h = nn.GroupNorm(32, epsilon=1e-5, name="norm")(x)
+        n = H * W
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(B, H * W, 3, nh, hd)
+        qkv = qkv.reshape(B, n, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (
-            hd**-0.5
-        )
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
+        if jax.default_backend() == "tpu" and n >= 512:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            blk = min(n, 1024)
+            bs = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1
+            )
+            bhnd = lambda a: jnp.swapaxes(a, 1, 2)  # (B, nh, n, hd)
+            out = flash_attention(
+                bhnd(q), bhnd(k), bhnd(v), sm_scale=hd**-0.5, block_sizes=bs
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (
+                hd**-0.5
+            )
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
         out = nn.Conv(
             C, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
             name="proj_out",
@@ -200,7 +222,7 @@ class UNet(nn.Module):
                 ds //= 2
         assert not hs
 
-        h = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h)
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(
             c.out_channels, (3, 3), padding=1,
