@@ -95,7 +95,6 @@ class AttentionBlock(nn.Module):
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, n, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if jax.default_backend() == "tpu" and n >= 512:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes,
@@ -106,12 +105,15 @@ class AttentionBlock(nn.Module):
             bs = BlockSizes(
                 block_q=blk, block_k_major=blk, block_k=blk, block_b=1
             )
-            bhnd = lambda a: jnp.swapaxes(a, 1, 2)  # (B, nh, n, hd)
+            # ONE transpose for all of q/k/v (leading-axis slices are free)
+            qkv_t = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, nh, n, hd)
             out = flash_attention(
-                bhnd(q), bhnd(k), bhnd(v), sm_scale=hd**-0.5, block_sizes=bs
+                qkv_t[0], qkv_t[1], qkv_t[2], sm_scale=hd**-0.5,
+                block_sizes=bs,
             )
             out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
         else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (
                 hd**-0.5
             )
