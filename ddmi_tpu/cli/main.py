@@ -160,6 +160,11 @@ def main(argv=None):
         trainer.generate()
         return
 
+    if mode == "eval":
+        trainer = Trainer(cfg, pipe, build_dataset(cfg, train=False))
+        trainer.evaluate(args.exp)
+        return
+
     train_data = build_dataset(cfg, train=True)
     try:
         test_data = build_dataset(cfg, train=False)

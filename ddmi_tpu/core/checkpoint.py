@@ -37,7 +37,32 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_like)
+            )
+        except ValueError:
+            # Forward-compat: the template grew optional fields (e.g. the
+            # adversarial disc_params) that an older checkpoint lacks —
+            # restore the stored tree raw and merge it over the template by
+            # normalized path (dataclass attr keys vs dict keys).
+            stored = self._mgr.restore(step)
+
+            def norm(path):
+                return "/".join(
+                    str(getattr(k, "key", getattr(k, "name", k)))
+                    for k in path
+                )
+
+            flat = {
+                norm(p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(stored)[0]
+            }
+
+            def pick(path, leaf):
+                return flat.get(norm(path), leaf)
+
+            return jax.tree_util.tree_map_with_path(pick, state_like)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

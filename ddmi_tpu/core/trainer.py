@@ -287,6 +287,201 @@ class Trainer:
 
         raise NotImplementedError(domain)
 
+    # ------------------------------------------------------------------ eval
+
+    def _image_scorer(self):
+        """InceptionV3 FIDScorer; converted torch weights from
+        data.extra.inception_pth when present, else random-init (values then
+        NOT comparable to published FID — loudly warned)."""
+        import jax.numpy as jnp
+
+        from ddmi_tpu.evals.fid import FIDScorer
+        from ddmi_tpu.evals.inception import InceptionV3
+
+        model = InceptionV3()
+        pth = self.cfg.data.extra.get("inception_pth")
+        if pth and os.path.exists(pth):
+            params = dict(np.load(pth, allow_pickle=True))["params"].item()
+        else:
+            warnings.warn(
+                "no converted InceptionV3 weights (data.extra.inception_pth); "
+                "rFID/FID computed with a random-init network"
+            )
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+            )["params"]
+        return FIDScorer(params)
+
+    def evaluate(self, exp: str):
+        """mode: eval — the reference's per-domain eval protocols
+        (evals/eval.py test_rfid/test_fid_n/test_rfvd/psnr;
+        tools/ldm/occupancy.py:204-219 mesh eval).  Sample counts are scaled
+        by data.extra.eval_samples (default small; the reference uses 10k
+        generated images / 5000 meshes)."""
+        import jax.numpy as jnp
+
+        domain = self.cfg.data.domain
+        data = self.test_data if self.test_data is not None else self.data
+        n_eval = int(self.cfg.data.extra.get("eval_samples", 64))
+        results = {}
+        s1 = self.load_stage1()
+
+        if exp == "d2c-vae":
+            if domain == "image":
+                from ddmi_tpu.evals.fid import test_rfid
+
+                recon = jax.jit(
+                    lambda p, x: self.pipe.reconstruct(p, jnp.asarray(x))
+                )
+                results["rfid"] = test_rfid(
+                    self._image_scorer(),
+                    lambda x: recon(s1.params, x),
+                    data,
+                    max_batches=max(1, n_eval // self.cfg.data.batch_size),
+                )
+            elif domain == "video":
+                from ddmi_tpu.evals.fvd import psnr
+
+                recon = jax.jit(
+                    lambda p, x: self.pipe.reconstruct(p, jnp.asarray(x))
+                )
+                results["psnr"] = psnr(
+                    lambda x: recon(s1.params, x), data,
+                    max_batches=max(1, n_eval // self.cfg.data.batch_size),
+                )
+            elif domain == "occupancy":
+                ious = []
+                fn = jax.jit(self.pipe.occupancy_logits)
+                for i, b in enumerate(data):
+                    if i * self.cfg.data.batch_size >= n_eval:
+                        break
+                    logits = np.asarray(jax.device_get(fn(
+                        s1.params, jnp.asarray(b["inputs"]),
+                        jnp.asarray(b["points"]), jax.random.PRNGKey(i),
+                    )))
+                    occ = np.asarray(b["occ"]) > 0.5
+                    pred = logits > 0
+                    inter = np.logical_and(pred, occ).sum()
+                    union = np.logical_or(pred, occ).sum()
+                    ious.append(inter / max(union, 1))
+                results["iou"] = float(np.mean(ious))
+            elif domain == "nerf":
+                vals = []
+                for i, b in enumerate(data):
+                    if i >= 4:
+                        break
+                    z, _ = self.pipe.encode_planes(
+                        s1.params, jnp.asarray(b["points"])[:1],
+                        jax.random.PRNGKey(i),
+                    )
+                    planes = self.pipe.decode_planes(
+                        {"vae": s1.params["vae"]}, z
+                    )
+                    img = np.asarray(b["image"])[0]
+                    H, W = img.shape[:2]
+                    rgb = jax.device_get(self.pipe.render_image(
+                        s1.params, planes, jnp.asarray(b["pose"])[0], H, W,
+                        jax.random.PRNGKey(i + 9),
+                    ))
+                    mse = float(np.mean((rgb - img) ** 2))
+                    vals.append(-10 * np.log10(max(mse, 1e-12)))
+                results["psnr"] = float(np.mean(vals))
+        else:  # ldm
+            s2 = self.load_stage2()
+            if domain == "image":
+                from ddmi_tpu.evals.fid import test_fid_n
+
+                bs = self.cfg.data.test_batch_size
+                res = min(self.cfg.data.test_resolution, 256)
+                sample = jax.jit(
+                    lambda lp, sp, r: self.pipe.sample_images(
+                        lp, sp, r, bs, res
+                    )
+                )
+                reals = []
+                for i, b in enumerate(data):
+                    if i * self.cfg.data.batch_size >= n_eval:
+                        break
+                    reals.append(np.asarray(b))
+                results["fid"] = test_fid_n(
+                    self._image_scorer(),
+                    lambda r: sample(s2.ema_params, s1.params, r),
+                    reals, n_samples=n_eval, batch=bs,
+                )
+            elif domain == "video":
+                from ddmi_tpu.evals.fvd import FVDScorer, test_fvd_sample
+                from ddmi_tpu.evals.i3d import I3D
+
+                pth = self.cfg.data.extra.get("i3d_pth")
+                model = I3D()
+                if pth and os.path.exists(pth):
+                    params = dict(np.load(pth, allow_pickle=True))[
+                        "params"
+                    ].item()
+                else:
+                    warnings.warn("no I3D weights; FVD uses random init")
+                    params = model.init(
+                        jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 224, 224, 3)),
+                    )["params"]
+                sample = jax.jit(
+                    lambda lp, sp, r: self.pipe.sample_videos(lp, sp, r, 1)
+                )
+                reals = []
+                for i, b in enumerate(data):
+                    if i >= max(1, n_eval // 4):
+                        break
+                    reals.append(np.asarray(b))
+                results["fvd"] = test_fvd_sample(
+                    FVDScorer(params),
+                    lambda r: sample(s2.ema_params, s1.params, r),
+                    reals, n_samples=min(n_eval, 16),
+                )
+            elif domain == "occupancy":
+                from ddmi_tpu.evals.metrics_3d import mmd_cov_1nna
+                from ddmi_tpu.geometry.generation import (
+                    MeshGenerator,
+                    sample_surface_points,
+                )
+
+                k = min(n_eval, 8)
+                z = jax.jit(
+                    lambda lp, r: self.pipe.sample_latents(lp, r, k)
+                )(s2.ema_params, jax.random.PRNGKey(0))
+                gen_pts = []
+                for i in range(k):
+                    eval_fn = jax.jit(
+                        self.pipe.decode_logits_fn(s1.params, z[i : i + 1])
+                    )
+                    verts, tris = MeshGenerator(
+                        eval_fn, **getattr(self.pipe, "generation_kwargs", {})
+                    ).generate()
+                    if len(tris):
+                        gen_pts.append(
+                            sample_surface_points(verts, tris, 2048)
+                        )
+                ref_pts = []
+                for i, b in enumerate(data):
+                    if len(ref_pts) >= k:
+                        break
+                    for j in range(np.asarray(b["inputs"]).shape[0]):
+                        ref_pts.append(np.asarray(b["inputs"])[j, :2048])
+                if gen_pts and ref_pts:
+                    m = mmd_cov_1nna(np.stack(ref_pts[:k]), np.stack(gen_pts))
+                    results.update({k_: float(v) for k_, v in m.items()})
+            elif domain == "nerf":
+                self.generate(n=1)
+                results["generated"] = 1.0
+
+        self.logger.log(0, results, prefix="eval/")
+        out = os.path.join(self.save_dir, "eval.json")
+        import json
+
+        with open(out, "w") as f:
+            json.dump(results, f)
+        print("eval results:", results)
+        return results
+
     @staticmethod
     def _save_images(imgs, prefix: str):
         import numpy as np
