@@ -83,3 +83,31 @@ def shard_params_fsdp(mesh: Mesh, params: Any) -> Any:
         return NamedSharding(mesh, _fsdp_spec_for(x, fsdp_size))
 
     return jax.tree_util.tree_map(to_sharding, params)
+
+
+def shard_params_tp_fsdp(mesh: Mesh, params: Any) -> Any:
+    """Tensor-parallel + FSDP parameter shardings: the LAST axis (output
+    channels of convs/denses) shards over 'model' and the largest remaining
+    divisible axis over 'fsdp'.  With the batch on 'data', GSPMD propagates
+    these into Megatron-style TP (column-parallel matmuls + all-reduce at
+    layer boundaries) without any model-code changes — the sharding IS the
+    parallelism (scaling-book recipe)."""
+    tp = mesh.shape[MODEL_AXIS]
+    fsdp = mesh.shape[FSDP_AXIS]
+
+    def to_sharding(x):
+        if x.ndim == 0:
+            return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        if tp > 1 and x.shape[-1] % tp == 0 and x.shape[-1] >= tp:
+            spec[-1] = MODEL_AXIS
+        if fsdp > 1 and x.ndim > 1:
+            sizes = list(x.shape[:-1])
+            order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+            for i in order:
+                if sizes[i] % fsdp == 0 and sizes[i] >= fsdp:
+                    spec[i] = FSDP_AXIS
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(to_sharding, params)
