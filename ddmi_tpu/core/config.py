@@ -34,7 +34,10 @@ def _filter_kwargs(cls, d: Dict[str, Any]) -> Dict[str, Any]:
             v = float(v)
         known[k] = v
     if "extra" in fields:
-        known["extra"] = extra
+        # merge unknown keys into any explicitly-provided `extra:` block
+        # (explicit keys win)
+        explicit = known.get("extra") or {}
+        known["extra"] = {**extra, **explicit}
     return known
 
 
