@@ -38,15 +38,52 @@ def load_convocc_config(path: str) -> Dict[str, Any]:
     return base
 
 
+def encoder_name(conv_cfg: Dict[str, Any]) -> str:
+    """convocc model.encoder: 'pointnet_local_pool' (default) or
+    'voxel_simple_local' (convocc/src/encoder/__init__.py registry)."""
+    return (conv_cfg.get("model") or {}).get("encoder", "pointnet_local_pool")
+
+
 def pointnet_kwargs(conv_cfg: Dict[str, Any]) -> Dict[str, Any]:
-    """Extract LocalPoolPointnet kwargs (convocc encoder_kwargs schema)."""
+    """Extract LocalPoolPointnet kwargs (convocc encoder_kwargs schema),
+    including the optional plane-feature UNet refinement."""
     enc = (conv_cfg.get("model") or {}).get("encoder_kwargs", {})
-    return {
+    kw = {
         "c_dim": (conv_cfg.get("model") or {}).get("c_dim", 32),
         "hidden_dim": enc.get("hidden_dim", 256),
         "plane_resolution": enc.get("plane_resolution", 64),
         "n_blocks": enc.get("n_blocks", 7),
     }
+    if enc.get("unet"):
+        uk = enc.get("unet_kwargs") or {}
+        kw.update(
+            unet=True,
+            unet_depth=uk.get("depth", 4),
+            unet_start_filts=uk.get("start_filts", 32),
+        )
+    return kw
+
+
+def voxel_encoder_kwargs(conv_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Extract LocalVoxelEncoder kwargs (voxels.py LocalVoxelEncoder)."""
+    enc = (conv_cfg.get("model") or {}).get("encoder_kwargs", {})
+    kw = {
+        "c_dim": (conv_cfg.get("model") or {}).get("c_dim", 32),
+        "plane_resolution": enc.get("plane_resolution", 64),
+        "kernel_size": enc.get("kernel_size", 3),
+        "unet3d": bool(enc.get("unet3d", False)),
+    }
+    pt = enc.get("plane_type")
+    if pt:
+        kw["plane_type"] = tuple(pt)
+    if enc.get("unet"):
+        uk = enc.get("unet_kwargs") or {}
+        kw.update(
+            unet=True,
+            unet_depth=uk.get("depth", 4),
+            unet_start_filts=uk.get("start_filts", 32),
+        )
+    return kw
 
 
 def generation_kwargs(conv_cfg: Dict[str, Any]) -> Dict[str, Any]:

@@ -42,25 +42,35 @@ class OccupancyPipeline:
         self.generation_kwargs = {}
         if self.cfg.data.conv_config:
             from ddmi_tpu.core.convocc_config import (
+                encoder_name,
                 generation_kwargs,
                 load_convocc_config,
                 pointnet_kwargs,
+                voxel_encoder_kwargs,
             )
 
             self.conv_cfg = load_convocc_config(self.cfg.data.conv_config)
-            pk = pointnet_kwargs(self.conv_cfg)
             self.generation_kwargs = generation_kwargs(self.conv_cfg)
+            if encoder_name(self.conv_cfg) == "voxel_simple_local":
+                from ddmi_tpu.nn.pointnet import LocalVoxelEncoder
+
+                self.pointnet = LocalVoxelEncoder(
+                    **voxel_encoder_kwargs(self.conv_cfg)
+                )
+            else:
+                self.pointnet = LocalPoolPointnet(
+                    **pointnet_kwargs(self.conv_cfg)
+                )
         else:
             enc = m.extra.get("pointnet", {}) if isinstance(m.extra, dict) else {}
-            pk = {
-                "c_dim": enc.get("c_dim", m.ddconfig.in_channels),
-                "hidden_dim": enc.get("hidden_dim", 256),
-                "plane_resolution": enc.get(
+            self.pointnet = LocalPoolPointnet(
+                c_dim=enc.get("c_dim", m.ddconfig.in_channels),
+                hidden_dim=enc.get("hidden_dim", 256),
+                plane_resolution=enc.get(
                     "plane_resolution", m.ddconfig.resolution
                 ),
-                "n_blocks": enc.get("n_blocks", 7),
-            }
-        self.pointnet = LocalPoolPointnet(**pk)
+                n_blocks=enc.get("n_blocks", 7),
+            )
         self.vae = TriplaneAutoencoder(m.ddconfig, embed_dim=m.embed_dim)
         self.mlp = INR3D(m.mlpconfig)
         dtype = jnp.bfloat16 if m.use_fp16 else jnp.float32

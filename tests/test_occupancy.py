@@ -117,3 +117,77 @@ def test_stage2_step_and_latent_sample(opipe):
         jnp.zeros((2, 100, 3))
     )
     assert logits.shape == (2, 100)
+
+
+def test_local_voxel_encoder(np_rng):
+    """LocalVoxelEncoder (convocc voxels.py): voxel grid -> triplanes (+grid),
+    axis-mean projection == the reference's scatter_mean on a regular grid."""
+    from ddmi_tpu.nn.pointnet import LocalVoxelEncoder
+
+    vox = jnp.asarray(np_rng.uniform(0, 1, (2, 16, 16, 16)) > 0.7, jnp.float32)
+    enc = LocalVoxelEncoder(c_dim=8, plane_resolution=16,
+                            plane_type=("xz", "xy", "yz", "grid"))
+    params = enc.init(jax.random.PRNGKey(0), vox)
+    fea = enc.apply(params, vox)
+    assert fea["xy"].shape == (2, 16, 16, 8)
+    assert fea["grid"].shape == (2, 16, 16, 16, 8)
+    assert np.isfinite(np.asarray(fea["xz"])).all()
+    # resized plane resolution
+    enc32 = LocalVoxelEncoder(c_dim=8, plane_resolution=32)
+    p32 = enc32.init(jax.random.PRNGKey(0), vox)
+    assert enc32.apply(p32, vox)["yz"].shape == (2, 32, 32, 8)
+
+
+def test_voxel_encoder_with_unets(np_rng):
+    from ddmi_tpu.nn.pointnet import LocalVoxelEncoder
+
+    vox = jnp.asarray(np_rng.uniform(0, 1, (1, 16, 16, 16)) > 0.7, jnp.float32)
+    enc = LocalVoxelEncoder(c_dim=8, plane_resolution=16, unet=True,
+                            unet_depth=2, unet_start_filts=8,
+                            plane_type=("xz", "xy", "yz", "grid"),
+                            unet3d=True)
+    params = enc.init(jax.random.PRNGKey(0), vox)
+    fea = enc.apply(params, vox)
+    assert fea["xy"].shape == (1, 16, 16, 8)
+    assert fea["grid"].shape == (1, 16, 16, 16, 8)
+
+
+def test_pointnet_unet_refinement(np_rng):
+    """encoder_kwargs unet: True routes planes through a shared UNet2D."""
+    from ddmi_tpu.nn.pointnet import LocalPoolPointnet
+
+    pts = jnp.asarray(np_rng.uniform(-0.4, 0.4, (1, 128, 3)), jnp.float32)
+    enc = LocalPoolPointnet(c_dim=8, hidden_dim=16, plane_resolution=16,
+                            n_blocks=2, unet=True, unet_depth=2,
+                            unet_start_filts=8)
+    params = enc.init(jax.random.PRNGKey(0), pts)
+    fea = enc.apply(params, pts)
+    assert fea["xy"].shape == (1, 16, 16, 8)
+    assert "unet" in params["params"]
+
+
+def test_voxel_encoder_config_dispatch(tmp_path):
+    """conv_config model.encoder: voxel_simple_local builds LocalVoxelEncoder
+    (convocc/src/encoder/__init__.py registry dispatch)."""
+    import yaml
+
+    from ddmi_tpu.core.config import replace
+    from ddmi_tpu.nn.pointnet import LocalVoxelEncoder
+
+    conv = {
+        "model": {
+            "encoder": "voxel_simple_local",
+            "encoder_kwargs": {"plane_resolution": 32, "kernel_size": 3,
+                               "unet": True,
+                               "unet_kwargs": {"depth": 2, "start_filts": 8}},
+            "c_dim": 8,
+        },
+        "generation": {"resolution_0": 16, "upsampling_steps": 0},
+    }
+    p = tmp_path / "voxel.yaml"
+    p.write_text(yaml.safe_dump(conv))
+    cfg = tiny_occ_config()
+    cfg = replace(cfg, data=replace(cfg.data, conv_config=str(p)))
+    pipe = OccupancyPipeline(cfg)
+    assert isinstance(pipe.pointnet, LocalVoxelEncoder)
+    assert pipe.pointnet.unet and pipe.pointnet.c_dim == 8
