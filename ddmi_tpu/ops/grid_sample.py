@@ -128,3 +128,55 @@ def grid_sample_nchw_like(
         padding_mode=padding_mode,
     )
     return jnp.transpose(out.reshape(B, Ho, Wo, C), (0, 3, 1, 2))
+
+
+def grid_sample_3d(
+    feat: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = True,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Trilinear sampling of an NDHWC volume at normalized coordinates.
+
+    feat: (B, D, H, W, C); grid: (B, N, 3) in [-1, 1] ordered (x, y, z) with
+    x indexing W, y indexing H, z indexing D (torch grid_sample convention,
+    as used by the reference's sample_grid_feature,
+    convocc/src/conv_onet/models/decoder.py:58-64).  Returns (B, N, C)."""
+    B, D, H, W, C = feat.shape
+    grid = grid.astype(jnp.float32)
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+    z = _unnormalize(grid[..., 2], D, align_corners)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+    elif padding_mode != "zeros":
+        raise NotImplementedError(padding_mode)
+
+    x0 = jnp.floor(x); y0 = jnp.floor(y); z0 = jnp.floor(z)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    wz = (z - z0)[..., None]
+    x0 = x0.astype(jnp.int32); y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+    cl = lambda v, n: jnp.clip(v, 0, n - 1)
+    flat = feat.reshape(B, D * H * W, C)
+
+    def gather(zi, yi, xi):
+        idx = (cl(zi, D) * H + cl(yi, H)) * W + cl(xi, W)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    out = 0.0
+    for dz, wz_ in ((z0, 1 - wz), (z0 + 1, wz)):
+        for dy, wy_ in ((y0, 1 - wy), (y0 + 1, wy)):
+            for dx, wx_ in ((x0, 1 - wx), (x0 + 1, wx)):
+                w = (wz_ * wy_ * wx_).astype(feat.dtype)
+                if padding_mode == "zeros":
+                    valid = (
+                        (dx >= 0) & (dx < W) & (dy >= 0) & (dy < H)
+                        & (dz >= 0) & (dz < D)
+                    )[..., None].astype(feat.dtype)
+                    w = w * valid
+                out = out + w * gather(dz, dy, dx)
+    return out
