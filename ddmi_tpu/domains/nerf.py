@@ -457,12 +457,21 @@ class NeRFPipeline:
             self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s
         )
         poses = self.spherical_poses(n_views)
-        out = []
-        for b in range(batch):
-            planes = self.decode_planes(stage1_params, z[b : b + 1])
-            views = [
-                self.render_image(stage1_params, planes, poses[v], H, W, rng_r)
-                for v in range(n_views)
-            ]
-            out.append(jnp.stack(views))
+
+        # ONE compiled program per scene: decode planes + lax.map over the
+        # camera path (the reference loops host-side per view,
+        # tools/ldm/nerf.py:243-275)
+        @jax.jit
+        def render_scene(sp, z_b, r):
+            planes = self.decode_planes(sp, z_b)
+
+            def one(pose):
+                return self.render_image(sp, planes, pose, H, W, r)
+
+            return jax.lax.map(one, poses)
+
+        out = [
+            render_scene(stage1_params, z[b : b + 1], rng_r)
+            for b in range(batch)
+        ]
         return jnp.stack(out)  # (batch, views, H, W, 3)

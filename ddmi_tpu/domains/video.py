@@ -363,7 +363,21 @@ class VideoPipeline:
         hdbf = self.vae.apply(
             {"params": stage1_params["vae"]}, z, method=self.vae.decode
         )
-        coords = video_axes(self.frames, self.res, self.res)
-        out = self.mlp.apply({"params": stage1_params["mlp"]}, coords, hdbf)
-        vid = out.reshape(batch, self.frames, self.res, self.res, -1)
+        # render frame-by-frame with lax.map: the full voxel token set
+        # (t*res^2, e.g. 1M tokens at 256^2 x 16f) would hold every MLP
+        # activation live at once (same chunking rationale as
+        # ImagePipeline._render_grid)
+        ys = jnp.linspace(-1.0, 1.0, self.res)
+        ts = jnp.linspace(-1.0, 1.0, self.frames)
+
+        def render_frame(t1):
+            coords = {"axes": (t1.reshape(1), ys, ys),
+                      "hw": (self.res, self.res)}
+            out = self.mlp.apply({"params": stage1_params["mlp"]}, coords, hdbf)
+            return out  # (b, res*res, c)
+
+        out = jax.lax.map(render_frame, ts)  # (t, b, res*res, c)
+        vid = jnp.moveaxis(out, 0, 1).reshape(
+            batch, self.frames, self.res, self.res, -1
+        )
         return unsymmetrize(jnp.clip(vid, -1, 1))

@@ -147,3 +147,16 @@ def test_nerf_render_image(npipe):
     )
     assert img.shape == (16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sample_nerfs_camera_path(npipe):
+    """Full generation path: DDIM latents -> decode planes -> jitted
+    camera-path render (tools/ldm/nerf.py:243-275)."""
+    s1 = npipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=2)
+    s2 = npipe.init_stage2(jax.random.PRNGKey(1))
+    views = npipe.sample_nerfs(
+        s2.ema_params, s1.params, jax.random.PRNGKey(2), batch=1,
+        n_views=2, H=8, W=8,
+    )
+    assert views.shape == (1, 2, 8, 8, 3)
+    assert np.isfinite(np.asarray(views)).all()

@@ -162,3 +162,28 @@ def test_video_stage2_step_and_sample(np_rng):
     s2, aux = step(s2, s1_params, x, jax.random.PRNGKey(3))
     assert np.isfinite(float(aux["loss"]))
     assert int(s2.step) == 1
+
+
+def test_sample_videos_framewise_render_matches_full_grid(vpipe, np_rng):
+    """sample_videos now renders per-frame under lax.map (memory-bounded at
+    production sizes); output must equal one full-grid INR apply."""
+    s1 = vpipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=2)
+    hdbf = vpipe.vae.apply(
+        {"params": s1.params["vae"]},
+        jnp.asarray(np_rng.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(np.float32)),
+        jax.random.PRNGKey(1), sample_posterior=False,
+    )[0]
+    coords = video_axes(4, 32, 32)
+    full = vpipe.mlp.apply({"params": s1.params["mlp"]}, coords, hdbf)
+    full = np.asarray(full.reshape(1, 4, 32, 32, -1))
+
+    ys = jnp.linspace(-1.0, 1.0, 32)
+    ts = jnp.linspace(-1.0, 1.0, 4)
+
+    def render_frame(t1):
+        c = {"axes": (t1.reshape(1), ys, ys), "hw": (32, 32)}
+        return vpipe.mlp.apply({"params": s1.params["mlp"]}, c, hdbf)
+
+    per = jax.lax.map(render_frame, ts)
+    per = np.asarray(jnp.moveaxis(per, 0, 1).reshape(1, 4, 32, 32, -1))
+    np.testing.assert_allclose(per, full, rtol=1e-5, atol=1e-5)

@@ -214,3 +214,38 @@ def test_convocc_config_wiring_nerf():
     assert pipe.embed_xyz.n_freqs == 10
     assert pipe.embed_dir.n_freqs == 4
     assert pipe.perturb == 1  # 'peturb' typo key preserved from reference
+
+
+def test_amp_policy_stage1_trains(np_rng):
+    """model.amp: stage-1 forward in bf16, fp32 master params still update
+    and the loss is finite (core/amp.py policy)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, amp=True)
+    )
+    pipe = ImagePipeline(cfg)
+    assert pipe.amp
+    state = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=2)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # fp32 masters
+    tx = pipe.stage1_optimizer(2)
+    x = jnp.asarray(np_rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    g0 = jax.device_get(state.params)
+    step = jax.jit(lambda s, xx, r: pipe.stage1_train_step(tx, s, xx, r))
+    metrics = None
+    for i in range(2):  # warmup LR is 0 at step 0
+        state, metrics = step(state, x, jax.random.PRNGKey(i + 1))
+    assert np.isfinite(float(metrics["loss"]))
+    g1 = jax.device_get(state.params)
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1))
+    )
+    assert moved
+    # updated params stay fp32
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(state.params)
+    )
