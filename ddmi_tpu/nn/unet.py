@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ddmi_tpu.core.config import UNetConfig
+from ddmi_tpu.ops.fused import FastGroupNorm
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
@@ -43,7 +44,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         C = self.out_channels
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
+        h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
         h = jax.nn.silu(h)
         h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(h)
 
@@ -56,11 +57,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
+            h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
             h = h * (1 + scale) + shift
         else:
             h = h + emb_out
-            h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
+            h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
         h = jax.nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -92,7 +93,7 @@ class AttentionBlock(nn.Module):
         nh = self.num_heads
         hd = C // nh
         n = H * W
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, n, 3, nh, hd)
         if jax.default_backend() == "tpu" and n >= 512:
@@ -224,7 +225,7 @@ class UNet(nn.Module):
                 ds //= 2
         assert not hs
 
-        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
+        h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm_out")(h)
         h = jax.nn.silu(h)
         h = nn.Conv(
             c.out_channels, (3, 3), padding=1,

@@ -31,3 +31,71 @@ def fused_leaky_relu(
 def scaled_leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     """LeakyReLU * sqrt(2) without bias (blocks.py:176-184)."""
     return jax.nn.leaky_relu(x, negative_slope) * SQRT2
+
+
+def group_norm_stats_mxu(x: jnp.ndarray, num_groups: int):
+    """GroupNorm statistics via MXU contractions.
+
+    Contracts the (major) spatial axis with a ones-vector on the MXU instead
+    of XLA's VPU convert+reduce fusions; the tiny (C,)->(groups,) group
+    reduction stays on the VPU.  fp32 accumulation, fast-variance formula —
+    numerics match flax.linen.GroupNorm (parity-tested).  End-to-end sampling
+    throughput measured equal to nn.GroupNorm on v5e (the convert+reduce
+    fusions turned out not to be the bottleneck; kept because the MXU path is
+    never slower and reads x exactly twice).
+
+    x: (B, *spatial, C) -> (mean, var) each (B, groups) fp32."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    n = 1
+    for s in x.shape[1:-1]:
+        n *= s
+    xf = x.reshape(B, n, C)
+    ones = jnp.full((n,), 1.0 / n, jnp.float32)
+    # per-channel first/second moments through the MXU (fp32 accumulate)
+    m1 = jax.lax.dot_general(
+        ones, xf, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, C)
+    m2 = jax.lax.dot_general(
+        ones, (xf.astype(jnp.float32) ** 2), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gm1 = m1.reshape(B, num_groups, C // num_groups).mean(-1)
+    gm2 = m2.reshape(B, num_groups, C // num_groups).mean(-1)
+    return gm1, gm2 - gm1**2
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int = 32, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm with MXU statistics (see group_norm_stats_mxu); apply step
+    stays elementwise and fuses into neighbors."""
+    mean, var = group_norm_stats_mxu(x, num_groups)
+    C = x.shape[-1]
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+    per_ch = lambda g: jnp.repeat(g, C // num_groups, axis=-1).reshape(shape)
+    inv = per_ch(jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    mu = per_ch(mean).astype(x.dtype)
+    return (x - mu) * inv * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+
+import flax.linen as _nn
+
+
+class FastGroupNorm(_nn.Module):
+    """flax GroupNorm drop-in using the MXU-statistics path (group_norm).
+    Param names/shapes match nn.GroupNorm ('scale'/'bias', (C,)) so states
+    are interchangeable; epsilon/num_groups semantics identical."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @_nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", _nn.initializers.ones, (C,))
+        bias = self.param("bias", _nn.initializers.zeros, (C,))
+        out = group_norm(x, scale, bias, self.num_groups, self.epsilon)
+        return out.astype(self.dtype) if self.dtype is not None else out

@@ -189,3 +189,32 @@ def test_unet_bf16_compute(np_rng):
     out = unet.apply(params, x, t)
     assert out.dtype == jnp.float32  # output conv promotes back
     assert out.shape == (1, 8, 8, 4)
+
+
+def test_fast_group_norm_matches_flax(np_rng):
+    """MXU-statistics GroupNorm == nn.GroupNorm (profiled 15x-off-roofline
+    convert+reduce replacement in the UNet)."""
+    import flax.linen as nn
+
+    from ddmi_tpu.ops.fused import FastGroupNorm
+
+    x = jnp.asarray(np_rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    ref_m = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    fast_m = FastGroupNorm(32, epsilon=1e-5)
+    params = ref_m.init(jax.random.PRNGKey(0), x)
+    # nontrivial scale/bias
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
+        params,
+    )
+    ref = ref_m.apply(params, x)
+    fast = fast_m.apply(params, x)  # same param names -> interchangeable
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # bf16 input, fp32 stats
+    xb = x.astype(jnp.bfloat16)
+    fb = fast_m.apply(params, xb)
+    assert fb.dtype == jnp.bfloat16 or fb.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fb, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
