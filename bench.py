@@ -20,10 +20,19 @@ torch-eager diffusion MFU; it is labeled as an estimate in the output.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the NFE=100 sample program is large (~100
+# unrolled-scan UNet bodies to trace through once); caching makes re-runs of
+# the bench start sampling in seconds instead of minutes.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from ddmi_tpu.core.config import load_config
 from ddmi_tpu.domains.image import ImagePipeline
