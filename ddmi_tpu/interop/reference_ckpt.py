@@ -1,0 +1,484 @@
+"""Convert reference-DDMI PyTorch checkpoints to ddmi_tpu Flax param trees.
+
+The reference saves flat torch state_dicts (stage-1: 'model' = Autoencoder,
+'mlp' = INR MLP, tools/d2c_vae/image.py:117-133; stage-2: 'diffusion' = DDPM
+wrapping the UNet + mixing_logit, 'ema' = ema_pytorch copy, 'vaemodel'/'mlp'
+= frozen stage 1, tools/ldm/image.py:104-119).  This module walks the same
+structural loops as the reference model constructors (autoencoder_unet.py
+Encoder :608-699 / Decoder :703-829, mlp.py MLP :12-66, openaimodel.py
+UNetModel :463-793) and emits the equivalent ddmi_tpu tree, converting weight
+layouts:
+
+  * Conv2d  (O, I, kh, kw)      -> Flax Conv kernel (kh, kw, I, O)
+  * Conv1d  (O, I, 1)           -> 1x1 Conv kernel  (1, 1, I, O)
+  * Linear  (O, I)              -> Dense kernel     (I, O)
+  * GroupNorm weight/bias       -> scale/bias (FastGroupNorm uses the same)
+  * ModulatedConv2d (1,O,I,k,k) -> (k, k, I, O)  (input-scaling formulation
+    in nn/stylegan.py is algebraically identical; weights transfer 1:1)
+  * ADM qkv Conv1d: the reference's QKVAttentionLegacy layout is head-major
+    ([h0: q|k|v, h1: q|k|v, ...], openaimodel.py:399-421); ours is qkv-major
+    ([q: h0..hN, k: ..., v: ...], nn/unet.py AttentionBlock) — output
+    channels are permuted accordingly.  proj_out needs no permutation (both
+    sides concatenate attention outputs head-major).
+
+Everything operates on numpy arrays: load the torch file with
+`load_torch_state_dicts` (requires torch, CPU-only) or feed dicts of
+numpy arrays directly.  Every converter asserts that all source keys were
+consumed and is exercised against live torch layers in
+tests/test_interop.py.
+
+Scope: the image domain (the reference's released CelebA-HQ/AFHQ
+checkpoints).  Video/occupancy/NeRF stage-1 encoders use different module
+classes; extend with the same walk-the-constructor pattern if needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ddmi_tpu.core.config import DDConfig, MLPConfig, UNetConfig
+
+Array = np.ndarray
+SD = Dict[str, Array]
+
+
+class _Source:
+    """State-dict view that tracks consumption (strict load semantics).
+    `sub(prefix)` returns a view sharing the same consumption set."""
+
+    def __init__(self, sd: Dict[str, Array], prefix: str = "", _shared=None):
+        if _shared is not None:
+            self._sd, self._used = _shared
+        else:
+            self._sd = {k: np.asarray(v) for k, v in sd.items()}
+            self._used = set()
+        self._prefix = prefix
+
+    def sub(self, prefix: str) -> "_Source":
+        return _Source({}, self._prefix + prefix, (self._sd, self._used))
+
+    def pop(self, key: str) -> Array:
+        full = self._prefix + key
+        if full not in self._sd:
+            raise KeyError(
+                f"reference checkpoint is missing '{full}' — wrong config "
+                f"for this checkpoint?"
+            )
+        self._used.add(full)
+        return self._sd[full]
+
+    def has(self, key: str) -> bool:
+        return (self._prefix + key) in self._sd
+
+    def finish(self, ignore_unused: tuple = ()) -> None:
+        """Assert every tensor was consumed (like torch strict=True)."""
+        left = [
+            k
+            for k in self._sd
+            if k not in self._used
+            and not any(k.startswith(p) for p in ignore_unused)
+        ]
+        if left:
+            raise ValueError(
+                f"unconverted reference tensors (first 10): {sorted(left)[:10]}"
+            )
+
+
+# ----------------------------------------------------------------- leaf maps
+
+
+def conv_kernel(w: Array) -> Array:
+    """torch Conv2d (O, I, kh, kw) -> Flax (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv1d_kernel(w: Array) -> Array:
+    """torch Conv1d (O, I, 1) -> Flax 1x1 Conv2d (1, 1, I, O)."""
+    assert w.ndim == 3 and w.shape[2] == 1, w.shape
+    return np.transpose(w, (2, 1, 0))[None]  # (1, 1, I, O)
+
+
+def linear_kernel(w: Array) -> Array:
+    """torch Linear (O, I) -> Flax Dense (I, O)."""
+    return np.transpose(w)
+
+
+def modconv_kernel(w: Array) -> Array:
+    """reference ModulatedConv2d (1, O, I, k, k) -> ddmi_tpu (k, k, I, O)."""
+    assert w.ndim == 5 and w.shape[0] == 1, w.shape
+    return np.transpose(w[0], (2, 3, 1, 0))
+
+
+def _conv(src: _Source, key: str) -> dict:
+    return {"kernel": conv_kernel(src.pop(key + ".weight")),
+            "bias": src.pop(key + ".bias")}
+
+
+def _conv1d(src: _Source, key: str) -> dict:
+    return {"kernel": conv1d_kernel(src.pop(key + ".weight")),
+            "bias": src.pop(key + ".bias")}
+
+
+def _dense(src: _Source, key: str) -> dict:
+    return {"kernel": linear_kernel(src.pop(key + ".weight")),
+            "bias": src.pop(key + ".bias")}
+
+
+def _gn(src: _Source, key: str) -> dict:
+    """GroupNorm -> FastGroupNorm / nn.GroupNorm {'scale','bias'}."""
+    return {"scale": src.pop(key + ".weight"), "bias": src.pop(key + ".bias")}
+
+
+def _gn_nested(src: _Source, key: str) -> dict:
+    """Our VAE wraps GroupNorm in a Norm module -> {'GroupNorm_0': {...}}."""
+    return {"GroupNorm_0": _gn(src, key)}
+
+
+# ------------------------------------------------------------- stage-1 VAE
+
+
+def _vae_resnet(src: _Source, key: str) -> dict:
+    out = {
+        "Norm_0": _gn_nested(src, key + ".norm1"),
+        "Conv_0": _conv(src, key + ".conv1"),
+        "Norm_1": _gn_nested(src, key + ".norm2"),
+        "Conv_1": _conv(src, key + ".conv2"),
+    }
+    if src.has(key + ".nin_shortcut.weight"):
+        out["nin_shortcut"] = _conv(src, key + ".nin_shortcut")
+    return out
+
+
+def _vae_attn(src: _Source, key: str) -> dict:
+    return {
+        "Norm_0": _gn_nested(src, key + ".norm"),
+        "q": _conv(src, key + ".q"),
+        "k": _conv(src, key + ".k"),
+        "v": _conv(src, key + ".v"),
+        "proj_out": _conv(src, key + ".proj_out"),
+    }
+
+
+def _convert_vae_encoder(src: _Source, cfg: DDConfig) -> dict:
+    """Mirror of nn/vae.py Encoder's construction order (reference
+    autoencoder_unet.py:608-699)."""
+    out = {"conv_in": _conv(src, "conv_in")}
+    rb = ab = dsn = 0
+    curr = cfg.resolution
+    n_levels = len(cfg.ch_mult)
+    for i_level in range(n_levels):
+        for i_block in range(cfg.num_res_blocks):
+            out[f"ResnetBlock_{rb}"] = _vae_resnet(
+                src, f"down.{i_level}.block.{i_block}"
+            )
+            rb += 1
+            if curr in cfg.attn_resolutions:
+                out[f"AttnBlock_{ab}"] = _vae_attn(
+                    src, f"down.{i_level}.attn.{i_block}"
+                )
+                ab += 1
+        if i_level != n_levels - 1:
+            out[f"Downsample_{dsn}"] = {
+                "Conv_0": _conv(src, f"down.{i_level}.downsample.conv")
+            }
+            dsn += 1
+            curr //= 2
+    out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_1")
+    rb += 1
+    if cfg.attn_type != "none":
+        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        ab += 1
+    out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_2")
+    out["Norm_0"] = _gn_nested(src, "norm_out")
+    out["conv_out"] = _conv(src, "conv_out")
+    return out
+
+
+def _convert_vae_decoder(src: _Source, cfg: DDConfig) -> dict:
+    """Mirror of nn/vae.py Decoder (reference autoencoder_unet.py:703-829).
+    hdbf taps become `hdbf_{resolution}` 1x1 convs."""
+    out = {"conv_in": _conv(src, "conv_in")}
+    rb = ab = up = 0
+    n_levels = len(cfg.ch_mult)
+    curr = cfg.resolution // 2 ** (n_levels - 1)
+
+    out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_1")
+    rb += 1
+    if cfg.attn_type != "none":
+        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        ab += 1
+    out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_2")
+    rb += 1
+
+    for i_level in reversed(range(n_levels)):
+        for i_block in range(cfg.num_res_blocks + 1):
+            out[f"ResnetBlock_{rb}"] = _vae_resnet(
+                src, f"up.{i_level}.block.{i_block}"
+            )
+            rb += 1
+            if curr in cfg.attn_resolutions:
+                out[f"AttnBlock_{ab}"] = _vae_attn(
+                    src, f"up.{i_level}.attn.{i_block}"
+                )
+                ab += 1
+        if curr in cfg.hdbf_resolutions:
+            out[f"hdbf_{curr}"] = _conv(src, f"up.{i_level}.hdbf.0")
+        if i_level != 0:
+            out[f"Upsample_{up}"] = {
+                "Conv_0": _conv(src, f"up.{i_level}.upsample.conv")
+            }
+            up += 1
+            curr *= 2
+    out["Norm_0"] = _gn_nested(src, "norm_out")
+    out["conv_out"] = _conv(src, "conv_out")
+    return out
+
+
+def convert_vae(sd: SD, cfg: DDConfig) -> dict:
+    """Reference Autoencoder state_dict ('model' entry) -> our Autoencoder
+    params {'encoder','decoder','quant_conv','post_quant_conv'}."""
+    src = _Source(sd)
+    out = {
+        "encoder": _convert_vae_encoder(src.sub("encoder."), cfg),
+        "decoder": _convert_vae_decoder(src.sub("decoder."), cfg),
+        "quant_conv": _conv(src, "quant_conv"),
+        "post_quant_conv": _conv(src, "post_quant_conv"),
+    }
+    src.finish()
+    return out
+
+
+# ------------------------------------------------------------- stage-1 MLP
+
+
+def _styled_conv(src: _Source, key: str) -> dict:
+    """reference StyledConv (blocks.py:312-356) -> our StyledConv
+    {'conv': {'weight','modulation'}, 'noise': {'weight'}, 'act_bias'}."""
+    return {
+        "conv": {
+            "weight": modconv_kernel(src.pop(key + ".conv.weight")),
+            "modulation": {
+                "weight": linear_kernel(src.pop(key + ".conv.modulation.weight")),
+                "bias": src.pop(key + ".conv.modulation.bias"),
+            },
+        },
+        "noise": {"weight": src.pop(key + ".noise.weight").reshape(1)},
+        "act_bias": src.pop(key + ".activate.bias"),
+    }
+
+
+def _styled_resblock(src: _Source, key: str) -> dict:
+    """reference StyledResBlock (blocks.py:604-638).  The skip ConvLayer is a
+    Sequential([EqualConv2d]) -> key '.skip.0.weight' (O, I, 1, 1); our token
+    layout uses EqualLinear (I, O) — same equalized-lr scale (1/sqrt(I))."""
+    out = {
+        "conv1": _styled_conv(src, key + ".conv1"),
+        "conv2": _styled_conv(src, key + ".conv2"),
+        "conv3": _styled_conv(src, key + ".conv3"),
+    }
+    if src.has(key + ".skip.0.weight"):
+        w = src.pop(key + ".skip.0.weight")  # (O, I, 1, 1)
+        out["skip"] = {
+            "EqualLinear_0": {"weight": linear_kernel(w[:, :, 0, 0])}
+        }
+    return out
+
+
+def convert_mlp_image(sd: SD, cfg: MLPConfig) -> dict:
+    """Reference MLP ('mlp' entry, mlp.py:12-66) -> our INRImage params.
+    time_mlp.{1,3} Linears map to the two style Dense layers."""
+    src = _Source(sd)
+    out = {
+        "Dense_0": _dense(src, "time_mlp.1"),
+        "Dense_1": _dense(src, "time_mlp.3"),
+        "net_res1": _styled_resblock(src, "net_res1"),
+        "net_res2": _styled_resblock(src, "net_res2"),
+        "net_res3": _styled_resblock(src, "net_res3"),
+        "net_res4": _styled_resblock(src, "net_res4"),
+        "torgb": {
+            "conv": {
+                "weight": modconv_kernel(src.pop("torgb.conv.weight")),
+                "modulation": {
+                    "weight": linear_kernel(
+                        src.pop("torgb.conv.modulation.weight")
+                    ),
+                    "bias": src.pop("torgb.conv.modulation.bias"),
+                },
+            },
+            "bias": src.pop("torgb.bias").reshape(-1),
+        },
+    }
+    src.finish()
+    return out
+
+
+# ------------------------------------------------------------- stage-2 UNet
+
+
+def qkv_permutation(num_heads: int, head_dim: int) -> np.ndarray:
+    """Output-channel permutation: reference QKVAttentionLegacy head-major
+    [h, (q|k|v), d] -> our qkv-major [(q|k|v), h, d] (nn/unet.py qkv
+    reshape (B, n, 3, nh, hd))."""
+    idx = np.arange(3 * num_heads * head_dim).reshape(num_heads, 3, head_dim)
+    return idx.transpose(1, 0, 2).reshape(-1)
+
+
+def _adm_resblock(src: _Source, key: str) -> dict:
+    """reference ResBlock (openaimodel.py:164-280): in_layers = [GN, SiLU,
+    conv], emb_layers = [SiLU, Linear], out_layers = [GN, SiLU, Dropout,
+    conv], skip_connection."""
+    out = {
+        "norm_in": _gn(src, key + ".in_layers.0"),
+        "conv_in": _conv(src, key + ".in_layers.2"),
+        "emb_proj": _dense(src, key + ".emb_layers.1"),
+        "norm_out": _gn(src, key + ".out_layers.0"),
+        "conv_out": _conv(src, key + ".out_layers.3"),
+    }
+    if src.has(key + ".skip_connection.weight"):
+        out["skip"] = _conv(src, key + ".skip_connection")
+    return out
+
+
+def _adm_attn(src: _Source, key: str, num_heads: int) -> dict:
+    qkv_w = src.pop(key + ".qkv.weight")  # (3C, C, 1)
+    qkv_b = src.pop(key + ".qkv.bias")
+    C = qkv_w.shape[1]
+    perm = qkv_permutation(num_heads, C // num_heads)
+    return {
+        "norm": _gn(src, key + ".norm"),
+        "qkv": {
+            "kernel": conv1d_kernel(qkv_w)[..., perm],
+            "bias": qkv_b[perm],
+        },
+        "proj_out": _conv1d(src, key + ".proj_out"),
+    }
+
+
+def _unet_heads(ch: int, cfg: UNetConfig) -> int:
+    if cfg.num_head_channels != -1:
+        return max(1, ch // cfg.num_head_channels)
+    return max(1, cfg.num_heads)
+
+
+def convert_unet(sd: SD, cfg: UNetConfig) -> dict:
+    """Reference UNetModel state_dict -> our UNet params, by walking the ADM
+    input/middle/output block layout (openaimodel.py:463-793)."""
+    src = _Source(sd)
+    out = {
+        "time_dense1": _dense(src, "time_embed.0"),
+        "time_dense2": _dense(src, "time_embed.2"),
+        "conv_in": _conv(src, "input_blocks.0.0"),
+    }
+    mc = cfg.model_channels
+
+    # --- input blocks (index 0 is conv_in above)
+    idx = 1
+    ds = 1
+    ch = mc
+    for i_level, mult in enumerate(cfg.channel_mult):
+        for i_block in range(cfg.num_res_blocks):
+            key = f"input_blocks.{idx}"
+            out[f"down_{i_level}_{i_block}"] = _adm_resblock(src, key + ".0")
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                out[f"down_attn_{i_level}_{i_block}"] = _adm_attn(
+                    src, key + ".1", _unet_heads(ch, cfg)
+                )
+            idx += 1
+        if i_level != len(cfg.channel_mult) - 1:
+            out[f"downsample_{i_level}"] = {
+                "Conv_0": _conv(src, f"input_blocks.{idx}.0.op")
+            }
+            idx += 1
+            ds *= 2
+
+    # --- middle
+    out["mid_block1"] = _adm_resblock(src, "middle_block.0")
+    out["mid_attn"] = _adm_attn(src, "middle_block.1", _unet_heads(ch, cfg))
+    out["mid_block2"] = _adm_resblock(src, "middle_block.2")
+
+    # --- output blocks
+    idx = 0
+    for i_level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i_block in range(cfg.num_res_blocks + 1):
+            key = f"output_blocks.{idx}"
+            out[f"up_{i_level}_{i_block}"] = _adm_resblock(src, key + ".0")
+            ch = mult * mc
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                out[f"up_attn_{i_level}_{i_block}"] = _adm_attn(
+                    src, key + f".{sub}", _unet_heads(ch, cfg)
+                )
+                sub += 1
+            if i_level != 0 and i_block == cfg.num_res_blocks:
+                out[f"upsample_{i_level}"] = {
+                    "Conv_0": _conv(src, key + f".{sub}.conv")
+                }
+                ds //= 2
+            idx += 1
+
+    out["norm_out"] = _gn(src, "out.0")
+    out["conv_out"] = _conv(src, "out.2")
+    src.finish()
+    return out
+
+
+# --------------------------------------------------------------- top level
+
+
+def convert_stage1_image(data: dict, ddconfig: DDConfig, mlpconfig: MLPConfig,
+                         vae_key: str = "model", mlp_key: str = "mlp") -> dict:
+    """Full stage-1 checkpoint dict -> {'vae': ..., 'mlp': ...} params."""
+    return {
+        "vae": convert_vae(_as_numpy(data[vae_key]), ddconfig),
+        "mlp": convert_mlp_image(_as_numpy(data[mlp_key]), mlpconfig),
+    }
+
+
+def convert_stage2_image(data: dict, unetconfig: UNetConfig,
+                         use_ema: bool = False) -> dict:
+    """Stage-2 ('ldm-*.pt') dict -> {'unet': ..., 'mixing_logit': ...}.
+
+    data['diffusion'] is the DDPM state_dict: 'model.*' = UNet,
+    'mixing_logit' (1, C, 1, 1) -> our NHWC (1, 1, 1, C); schedule buffers
+    (betas, alphas_cumprod, ...) are recomputed, not loaded.  With
+    use_ema=True, reads the ema_pytorch copy under 'ema' ('ema_model.*',
+    reference tools/ldm/image.py:63-65)."""
+    if use_ema:
+        sd = {
+            k[len("ema_model."):]: v
+            for k, v in _as_numpy(data["ema"]).items()
+            if k.startswith("ema_model.")
+        }
+    else:
+        sd = _as_numpy(data["diffusion"])
+    unet_sd = {
+        k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    ml = np.asarray(sd["mixing_logit"])  # (1, C, 1, 1)
+    return {
+        "unet": convert_unet(unet_sd, unetconfig),
+        "mixing_logit": np.transpose(ml, (0, 2, 3, 1)),
+    }
+
+
+def _as_numpy(sd) -> SD:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):  # torch tensor without importing torch
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """torch.load a reference .pt on CPU (stage-2 files embed OmegaConf args,
+    so weights_only must be off)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        return torch.load(path, map_location="cpu", weights_only=False)

@@ -1,0 +1,585 @@
+"""Reference-checkpoint conversion (ddmi_tpu.interop.reference_ckpt).
+
+Strategy (the reference torch models themselves cannot be imported — their
+modules JIT-compile CUDA extensions at import time): (1) leaf-level layout
+conventions are verified numerically against live torch layers; (2) the
+tree-level converters are driven by synthetic state_dicts whose keys/shapes
+are enumerated here *independently* from the reference's constructor loops
+(autoencoder_unet.py:608-829, mlp.py:12-33, openaimodel.py:463-793) and the
+result must match our models' init trees exactly; (3) the ADM attention
+head-permutation is verified numerically against a torch implementation of
+QKVAttentionLegacy's published algorithm (openaimodel.py:399-421)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddmi_tpu.core.config import DDConfig, MLPConfig, UNetConfig
+from ddmi_tpu.interop.reference_ckpt import (
+    conv1d_kernel,
+    conv_kernel,
+    convert_mlp_image,
+    convert_unet,
+    convert_vae,
+    linear_kernel,
+    qkv_permutation,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _paths(tree):
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in p): tuple(v.shape)
+        for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def _assert_tree_equal(converted, template):
+    c, t = _paths(converted), _paths(template)
+    assert set(c) == set(t), (
+        f"missing={sorted(set(t) - set(c))[:6]} "
+        f"extra={sorted(set(c) - set(t))[:6]}"
+    )
+    bad = [(k, c[k], t[k]) for k in t if c[k] != t[k]]
+    assert not bad, bad[:6]
+
+
+# ------------------------------------------------------------ leaf parity
+
+
+def test_conv2d_layout_matches_torch():
+    tconv = torch.nn.Conv2d(5, 7, 3, padding=1)
+    x = np.random.RandomState(0).randn(2, 5, 8, 8).astype(np.float32)
+    want = tconv(torch.from_numpy(x)).detach().numpy()
+
+    import flax.linen as nn
+
+    fconv = nn.Conv(7, (3, 3), padding=1)
+    params = {
+        "kernel": conv_kernel(tconv.weight.detach().numpy()),
+        "bias": tconv.bias.detach().numpy(),
+    }
+    got = fconv.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), want, atol=1e-5
+    )
+
+
+def test_linear_and_groupnorm_layouts_match_torch():
+    tlin = torch.nn.Linear(6, 4)
+    x = np.random.RandomState(1).randn(3, 6).astype(np.float32)
+    want = tlin(torch.from_numpy(x)).detach().numpy()
+    got = x @ linear_kernel(tlin.weight.detach().numpy()) + (
+        tlin.bias.detach().numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    tgn = torch.nn.GroupNorm(4, 8, eps=1e-5)
+    with torch.no_grad():
+        tgn.weight.uniform_(0.5, 1.5)
+        tgn.bias.uniform_(-0.5, 0.5)
+    xg = np.random.RandomState(2).randn(2, 8, 5, 5).astype(np.float32)
+    want = tgn(torch.from_numpy(xg)).detach().numpy()
+
+    from ddmi_tpu.ops.fused import group_norm
+
+    got = group_norm(
+        jnp.asarray(xg.transpose(0, 2, 3, 1)),
+        jnp.asarray(tgn.weight.detach().numpy()),
+        jnp.asarray(tgn.bias.detach().numpy()),
+        num_groups=4,
+        eps=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), want, atol=1e-4
+    )
+
+
+def test_adm_attention_permutation_numerics():
+    """Our AttentionBlock with converted weights == torch QKVAttentionLegacy
+    algorithm (head-major qkv split, openaimodel.py:399-421)."""
+    C, nh, n = 64, 2, 12
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, C, n).astype(np.float32)
+
+    norm = torch.nn.GroupNorm(32, C)  # ADM normalization = GroupNorm32
+    qkv = torch.nn.Conv1d(C, 3 * C, 1)
+    proj = torch.nn.Conv1d(C, C, 1)
+    with torch.no_grad():
+        for m in (qkv, proj):
+            m.weight.normal_(0, 0.2)
+            m.bias.normal_(0, 0.1)
+        norm.weight.uniform_(0.5, 1.5)
+        norm.bias.uniform_(-0.3, 0.3)
+
+    with torch.no_grad():
+        h = qkv(norm(torch.from_numpy(x)))  # (B, 3C, n)
+        bs, width, length = h.shape
+        ch = width // (3 * nh)
+        q, k, v = h.reshape(bs * nh, ch * 3, length).split(ch, dim=1)
+        scale = 1 / math.sqrt(math.sqrt(ch))
+        w = torch.einsum("bct,bcs->bts", q * scale, k * scale).softmax(-1)
+        a = torch.einsum("bts,bcs->bct", w, v).reshape(bs, -1, length)
+        want = (torch.from_numpy(x) + proj(a)).numpy()
+
+    from ddmi_tpu.nn.unet import AttentionBlock
+
+    perm = qkv_permutation(nh, C // nh)
+    params = {
+        "norm": {
+            "scale": norm.weight.detach().numpy(),
+            "bias": norm.bias.detach().numpy(),
+        },
+        "qkv": {
+            "kernel": conv1d_kernel(qkv.weight.detach().numpy())[..., perm],
+            "bias": qkv.bias.detach().numpy()[perm],
+        },
+        "proj_out": {
+            "kernel": conv1d_kernel(proj.weight.detach().numpy()),
+            "bias": proj.bias.detach().numpy(),
+        },
+    }
+    blk = AttentionBlock(num_heads=nh)
+    # NHWC with H=1: tokens along W
+    xin = jnp.asarray(x.transpose(0, 2, 1)).reshape(2, 1, n, C)
+    got = blk.apply({"params": params}, xin)
+    got = np.asarray(got).reshape(2, n, C).transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+# ------------------------------------- synthetic reference state_dicts
+
+
+def _add(sd, key, *shape):
+    rs = np.random.RandomState(abs(hash(key)) % (2**31))
+    sd[key] = rs.randn(*shape).astype(np.float32) * 0.1
+
+
+def _ref_resnet(sd, key, cin, cout):
+    _add(sd, f"{key}.norm1.weight", cin)
+    _add(sd, f"{key}.norm1.bias", cin)
+    _add(sd, f"{key}.conv1.weight", cout, cin, 3, 3)
+    _add(sd, f"{key}.conv1.bias", cout)
+    _add(sd, f"{key}.norm2.weight", cout)
+    _add(sd, f"{key}.norm2.bias", cout)
+    _add(sd, f"{key}.conv2.weight", cout, cout, 3, 3)
+    _add(sd, f"{key}.conv2.bias", cout)
+    if cin != cout:
+        _add(sd, f"{key}.nin_shortcut.weight", cout, cin, 1, 1)
+        _add(sd, f"{key}.nin_shortcut.bias", cout)
+
+
+def _ref_attn(sd, key, c):
+    _add(sd, f"{key}.norm.weight", c)
+    _add(sd, f"{key}.norm.bias", c)
+    for name in ("q", "k", "v", "proj_out"):
+        _add(sd, f"{key}.{name}.weight", c, c, 1, 1)
+        _add(sd, f"{key}.{name}.bias", c)
+
+
+def ref_vae_state_dict(cfg: DDConfig, embed_dim: int):
+    """Enumerate the reference Autoencoder's state_dict keys/shapes
+    (autoencoder_unet.py Encoder :608-699, Decoder :703-829)."""
+    sd = {}
+    n = len(cfg.ch_mult)
+    # encoder
+    _add(sd, "encoder.conv_in.weight", cfg.ch, cfg.in_channels, 3, 3)
+    _add(sd, "encoder.conv_in.bias", cfg.ch)
+    cin = cfg.ch
+    curr = cfg.resolution
+    for i in range(n):
+        cout = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks):
+            _ref_resnet(sd, f"encoder.down.{i}.block.{j}", cin, cout)
+            cin = cout
+            if curr in cfg.attn_resolutions:
+                _ref_attn(sd, f"encoder.down.{i}.attn.{j}", cout)
+        if i != n - 1:
+            _add(sd, f"encoder.down.{i}.downsample.conv.weight", cin, cin, 3, 3)
+            _add(sd, f"encoder.down.{i}.downsample.conv.bias", cin)
+            curr //= 2
+    _ref_resnet(sd, "encoder.mid.block_1", cin, cin)
+    _ref_attn(sd, "encoder.mid.attn_1", cin)
+    _ref_resnet(sd, "encoder.mid.block_2", cin, cin)
+    _add(sd, "encoder.norm_out.weight", cin)
+    _add(sd, "encoder.norm_out.bias", cin)
+    zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+    _add(sd, "encoder.conv_out.weight", zc, cin, 3, 3)
+    _add(sd, "encoder.conv_out.bias", zc)
+    # quant convs (reference Autoencoder :845-846)
+    _add(sd, "quant_conv.weight", 2 * embed_dim, zc, 1, 1)
+    _add(sd, "quant_conv.bias", 2 * embed_dim)
+    _add(sd, "post_quant_conv.weight", cfg.z_channels, embed_dim, 1, 1)
+    _add(sd, "post_quant_conv.bias", cfg.z_channels)
+    # decoder
+    cin = cfg.ch * cfg.ch_mult[n - 1]
+    curr = cfg.resolution // 2 ** (n - 1)
+    _add(sd, "decoder.conv_in.weight", cin, cfg.z_channels, 3, 3)
+    _add(sd, "decoder.conv_in.bias", cin)
+    _ref_resnet(sd, "decoder.mid.block_1", cin, cin)
+    _ref_attn(sd, "decoder.mid.attn_1", cin)
+    _ref_resnet(sd, "decoder.mid.block_2", cin, cin)
+    for i in reversed(range(n)):
+        cout = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            _ref_resnet(sd, f"decoder.up.{i}.block.{j}", cin, cout)
+            cin = cout
+            if curr in cfg.attn_resolutions:
+                _ref_attn(sd, f"decoder.up.{i}.attn.{j}", cout)
+        if curr in cfg.hdbf_resolutions:
+            _add(sd, f"decoder.up.{i}.hdbf.0.weight", cfg.out_ch, cin, 1, 1)
+            _add(sd, f"decoder.up.{i}.hdbf.0.bias", cfg.out_ch)
+        if i != 0:
+            _add(sd, f"decoder.up.{i}.upsample.conv.weight", cin, cin, 3, 3)
+            _add(sd, f"decoder.up.{i}.upsample.conv.bias", cin)
+            curr *= 2
+    _add(sd, "decoder.norm_out.weight", cin)
+    _add(sd, "decoder.norm_out.bias", cin)
+    _add(sd, "decoder.conv_out.weight", cfg.out_ch, cin, 3, 3)
+    _add(sd, "decoder.conv_out.bias", cfg.out_ch)
+    return sd
+
+
+def _ref_styled_conv(sd, key, cin, cout, style_dim):
+    _add(sd, f"{key}.conv.weight", 1, cout, cin, 1, 1)
+    _add(sd, f"{key}.conv.modulation.weight", cin, style_dim)
+    _add(sd, f"{key}.conv.modulation.bias", cin)
+    _add(sd, f"{key}.noise.weight", 1)
+    _add(sd, f"{key}.activate.bias", cout)
+
+
+def _ref_styled_resblock(sd, key, cin, cout, style_dim):
+    _ref_styled_conv(sd, f"{key}.conv1", cin, cout, style_dim)
+    _ref_styled_conv(sd, f"{key}.conv2", cout, cout, style_dim)
+    _ref_styled_conv(sd, f"{key}.conv3", cout, cout, style_dim)
+    if cin != cout:
+        _add(sd, f"{key}.skip.0.weight", cout, cin, 1, 1)
+
+
+def ref_mlp_state_dict(cfg: MLPConfig):
+    """Reference MLP (mlp.py:12-33): time_mlp Sequential(sinu, Linear, GELU,
+    Linear) + net_res1..4 + torgb."""
+    sd = {}
+    dim = cfg.ch // 4
+    _add(sd, "time_mlp.1.weight", cfg.ch, dim)
+    _add(sd, "time_mlp.1.bias", cfg.ch)
+    _add(sd, "time_mlp.3.weight", cfg.ch, cfg.ch)
+    _add(sd, "time_mlp.3.bias", cfg.ch)
+    cin = cfg.in_ch + cfg.latent_dim
+    _ref_styled_resblock(sd, "net_res1", cin, cfg.ch, cfg.ch)
+    _ref_styled_resblock(
+        sd, "net_res2", cfg.ch + cin, cfg.ch, cfg.ch
+    )
+    _ref_styled_resblock(
+        sd, "net_res3", cfg.ch + cin, cfg.ch, cfg.ch
+    )
+    _ref_styled_resblock(sd, "net_res4", cfg.ch, cfg.ch, cfg.ch)
+    _add(sd, "torgb.conv.weight", 1, cfg.out_ch, cfg.ch, 1, 1)
+    _add(sd, "torgb.conv.modulation.weight", cfg.ch, cfg.ch)
+    _add(sd, "torgb.conv.modulation.bias", cfg.ch)
+    _add(sd, "torgb.bias", 1, cfg.out_ch, 1, 1)
+    return sd
+
+
+def _ref_adm_resblock(sd, key, cin, cout, emb):
+    _add(sd, f"{key}.in_layers.0.weight", cin)
+    _add(sd, f"{key}.in_layers.0.bias", cin)
+    _add(sd, f"{key}.in_layers.2.weight", cout, cin, 3, 3)
+    _add(sd, f"{key}.in_layers.2.bias", cout)
+    _add(sd, f"{key}.emb_layers.1.weight", cout, emb)
+    _add(sd, f"{key}.emb_layers.1.bias", cout)
+    _add(sd, f"{key}.out_layers.0.weight", cout)
+    _add(sd, f"{key}.out_layers.0.bias", cout)
+    _add(sd, f"{key}.out_layers.3.weight", cout, cout, 3, 3)
+    _add(sd, f"{key}.out_layers.3.bias", cout)
+    if cin != cout:
+        _add(sd, f"{key}.skip_connection.weight", cout, cin, 1, 1)
+        _add(sd, f"{key}.skip_connection.bias", cout)
+
+
+def _ref_adm_attn(sd, key, c):
+    _add(sd, f"{key}.norm.weight", c)
+    _add(sd, f"{key}.norm.bias", c)
+    _add(sd, f"{key}.qkv.weight", 3 * c, c, 1)
+    _add(sd, f"{key}.qkv.bias", 3 * c)
+    _add(sd, f"{key}.proj_out.weight", c, c, 1)
+    _add(sd, f"{key}.proj_out.bias", c)
+
+
+def ref_unet_state_dict(cfg: UNetConfig):
+    """Reference ADM UNetModel layout (openaimodel.py:463-793)."""
+    sd = {}
+    mc = cfg.model_channels
+    emb = 4 * mc
+    _add(sd, "time_embed.0.weight", emb, mc)
+    _add(sd, "time_embed.0.bias", emb)
+    _add(sd, "time_embed.2.weight", emb, emb)
+    _add(sd, "time_embed.2.bias", emb)
+    _add(sd, "input_blocks.0.0.weight", mc, cfg.in_channels, 3, 3)
+    _add(sd, "input_blocks.0.0.bias", mc)
+    idx, ds, ch = 1, 1, mc
+    for i, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            _ref_adm_resblock(sd, f"input_blocks.{idx}.0", ch, mult * mc, emb)
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                _ref_adm_attn(sd, f"input_blocks.{idx}.1", ch)
+            idx += 1
+        if i != len(cfg.channel_mult) - 1:
+            _add(sd, f"input_blocks.{idx}.0.op.weight", ch, ch, 3, 3)
+            _add(sd, f"input_blocks.{idx}.0.op.bias", ch)
+            idx += 1
+            ds *= 2
+    _ref_adm_resblock(sd, "middle_block.0", ch, ch, emb)
+    _ref_adm_attn(sd, "middle_block.1", ch)
+    _ref_adm_resblock(sd, "middle_block.2", ch, ch, emb)
+    idx = 0
+    # skip-concat channel bookkeeping (openaimodel.py:747-776): input_block
+    # channel list is consumed in reverse by the output blocks
+    ich = [mc]
+    ch2 = mc
+    for i, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            ch2 = mult * mc
+            ich.append(ch2)
+        if i != len(cfg.channel_mult) - 1:
+            ich.append(ch2)
+    for i, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for j in range(cfg.num_res_blocks + 1):
+            skip_ch = ich.pop()
+            _ref_adm_resblock(
+                sd, f"output_blocks.{idx}.0", ch + skip_ch, mult * mc, emb
+            )
+            ch = mult * mc
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                _ref_adm_attn(sd, f"output_blocks.{idx}.{sub}", ch)
+                sub += 1
+            if i != 0 and j == cfg.num_res_blocks:
+                _add(sd, f"output_blocks.{idx}.{sub}.conv.weight", ch, ch, 3, 3)
+                _add(sd, f"output_blocks.{idx}.{sub}.conv.bias", ch)
+                ds //= 2
+            idx += 1
+    _add(sd, "out.0.weight", ch)
+    _add(sd, "out.0.bias", ch)
+    _add(sd, "out.2.weight", cfg.out_channels, ch, 3, 3)
+    _add(sd, "out.2.bias", cfg.out_channels)
+    return sd
+
+
+# ------------------------------------------------------------- tree tests
+
+
+TINY_DD = DDConfig(
+    double_z=True, z_channels=8, resolution=16, in_channels=3, out_ch=4,
+    ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+    hdbf_resolutions=(8,),
+)
+
+
+def test_vae_conversion_matches_init_tree():
+    sd = ref_vae_state_dict(TINY_DD, embed_dim=4)
+    params = convert_vae(sd, TINY_DD)
+
+    from ddmi_tpu.nn.vae import Autoencoder
+
+    vae = Autoencoder(TINY_DD, embed_dim=4)
+    template = vae.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 16, 16, 3)),
+        jax.random.PRNGKey(1),
+    )["params"]
+    _assert_tree_equal(params, template)
+    # converted params must actually run
+    dec, post = vae.apply(
+        {"params": params}, jnp.ones((1, 16, 16, 3)), jax.random.PRNGKey(2)
+    )
+    assert len(dec) == 2 and dec[-1].shape == (1, 16, 16, 4)
+
+
+def test_mlp_conversion_matches_init_tree():
+    cfg = MLPConfig(in_ch=2, out_ch=3, ch=32, latent_dim=4)
+    sd = ref_mlp_state_dict(cfg)
+    params = convert_mlp_image(sd, cfg)
+
+    from ddmi_tpu.nn.inr import INRImage
+
+    mlp = INRImage(cfg)
+    hdbf = [jnp.zeros((1, r, r, 4)) for r in (4, 8, 16)]
+    template = mlp.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 5, 2)), hdbf, 1.0,
+    )["params"]
+    _assert_tree_equal(params, template)
+    out = mlp.apply(
+        {"params": params}, jnp.zeros((1, 5, 2)), hdbf, 1.0,
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (1, 5, 3)
+
+
+TINY_UNET = UNetConfig(
+    image_size=8, in_channels=8, model_channels=32, out_channels=8,
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+    num_head_channels=16,
+)
+
+
+def test_unet_conversion_matches_init_tree():
+    sd = ref_unet_state_dict(TINY_UNET)
+    params = convert_unet(sd, TINY_UNET)
+
+    from ddmi_tpu.nn.unet import UNet
+
+    unet = UNet(TINY_UNET)
+    template = unet.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 8, 8, 8)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    _assert_tree_equal(params, template)
+    out = unet.apply(
+        {"params": params}, jnp.ones((2, 8, 8, 8)), jnp.array([3, 7])
+    )
+    assert out.shape == (2, 8, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stage2_checkpoint_conversion(tmp_path):
+    """Full ldm-*.pt dict (diffusion + ema + frozen stage-1) -> Orbax trees
+    the Trainer can restore (reference save format tools/ldm/image.py:104-119)."""
+    from ddmi_tpu.interop.reference_ckpt import (
+        convert_stage1_image,
+        convert_stage2_image,
+    )
+
+    mlp_cfg = MLPConfig(in_ch=2, out_ch=3, ch=32, latent_dim=4)
+    unet_sd = ref_unet_state_dict(TINY_UNET)
+    diffusion = {f"model.{k}": v for k, v in unet_sd.items()}
+    diffusion["mixing_logit"] = np.full((1, 8, 1, 1), -6.0, np.float32)
+    # schedule buffers must be ignored by the converter
+    diffusion["betas"] = np.linspace(1e-4, 0.02, 10).astype(np.float32)
+    diffusion["alphas_cumprod"] = np.cumprod(1 - diffusion["betas"])
+    data = {
+        "step": 1234,
+        "vaemodel": ref_vae_state_dict(TINY_DD, embed_dim=4),
+        "mlp": ref_mlp_state_dict(mlp_cfg),
+        "diffusion": diffusion,
+        "ema": {
+            "initted": np.array(True),
+            "step": np.array(5000),
+            **{f"ema_model.{k}": v for k, v in diffusion.items()},
+        },
+    }
+    s1 = convert_stage1_image(data, TINY_DD, mlp_cfg, vae_key="vaemodel")
+    assert set(s1) == {"vae", "mlp"}
+    s2 = convert_stage2_image(data, TINY_UNET)
+    assert s2["mixing_logit"].shape == (1, 1, 1, 8)
+    ema = convert_stage2_image(data, TINY_UNET, use_ema=True)
+    np.testing.assert_array_equal(
+        ema["unet"]["conv_in"]["bias"], s2["unet"]["conv_in"]["bias"]
+    )
+
+
+@pytest.mark.slow
+def test_convert_cli_end_to_end(tmp_path):
+    """torch.save a synthetic reference ldm checkpoint, run the converter
+    CLI, restore through the framework's checkpoint path, and sample."""
+    import yaml
+
+    from ddmi_tpu.cli.convert_reference_ckpt import convert
+    from ddmi_tpu.core.checkpoint import CheckpointManager
+    from ddmi_tpu.core.config import load_config
+    from ddmi_tpu.domains.image import ImagePipeline
+
+    save = str(tmp_path / "save")
+    cfg_yaml = {
+        "model": {
+            "DiT": False, "pretrained": True, "resume": False,
+            "use_fp16": False, "amp": False, "lr": 1e-4, "embed_dim": 4,
+            "params": {
+                "lossconfig": {"epochs": 1, "warmup_epochs": 0,
+                               "save_and_sample_every": 1,
+                               "gradient_accumulate_every": 1},
+                "ddconfig": {
+                    "double_z": True, "z_channels": 8, "resolution": 16,
+                    "in_channels": 3, "out_ch": 4, "ch": 32,
+                    "ch_mult": [1, 1, 2], "num_res_blocks": 1,
+                    "attn_resolutions": [], "hdbf_resolutions": [4, 8],
+                },
+                "mlpconfig": {"in_ch": 2, "out_ch": 3, "ch": 32,
+                              "latent_dim": 4},
+                "unetconfig": {
+                    "image_size": 4, "in_channels": 4, "model_channels": 32,
+                    "out_channels": 4, "num_res_blocks": 1,
+                    "attention_resolutions": [2], "channel_mult": [1, 2],
+                    "num_head_channels": 16,
+                },
+                "ddpmconfig": {"timesteps": 20, "image_size": 4,
+                               "channels": 4, "sampling_timesteps": 4},
+            },
+        },
+        "data": {
+            "domain": "image", "mode": "gen", "dataset": "synthetic",
+            "data_dir": "/tmp/none", "test_data_dir": "/tmp/none",
+            "save_pth": save, "batch_size": 2, "test_batch_size": 2,
+            "test_resolution": 16,
+        },
+    }
+    cfg_path = tmp_path / "tiny_ldm.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+
+    unet_cfg = UNetConfig(
+        image_size=4, in_channels=4, model_channels=32, out_channels=4,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16,
+    )
+    mlp_cfg = MLPConfig(in_ch=2, out_ch=3, ch=32, latent_dim=4)
+    dd3 = DDConfig(
+        double_z=True, z_channels=8, resolution=16, in_channels=3, out_ch=4,
+        ch=32, ch_mult=(1, 1, 2), num_res_blocks=1, attn_resolutions=(),
+        hdbf_resolutions=(4, 8),
+    )
+    diffusion = {
+        f"model.{k}": v for k, v in ref_unet_state_dict(unet_cfg).items()
+    }
+    diffusion["mixing_logit"] = np.full((1, 4, 1, 1), -6.0, np.float32)
+    diffusion["betas"] = np.linspace(1e-4, 0.02, 20).astype(np.float32)
+    data = {
+        "step": 777,
+        "vaemodel": {
+            k: torch.from_numpy(v)
+            for k, v in ref_vae_state_dict(dd3, embed_dim=4).items()
+        },
+        "mlp": {
+            k: torch.from_numpy(v) for k, v in ref_mlp_state_dict(mlp_cfg).items()
+        },
+        "diffusion": {k: torch.from_numpy(v) for k, v in diffusion.items()},
+        "ema": {
+            f"ema_model.{k}": torch.from_numpy(v)
+            for k, v in diffusion.items()
+        },
+    }
+    pt = tmp_path / "ldm-last.pt"
+    torch.save(data, str(pt))
+
+    convert("ldm", str(cfg_path), str(pt), None, steps_per_epoch=2)
+
+    cfg = load_config(str(cfg_path))
+    pipe = ImagePipeline(cfg)
+    s2 = CheckpointManager(save, prefix="stage2").restore(
+        pipe.init_stage2(jax.random.PRNGKey(0), 2)
+    )
+    assert int(s2.step) == 777
+    s1 = CheckpointManager(save, prefix="stage1").restore(
+        pipe.init_stage1(jax.random.PRNGKey(0), 2)
+    )
+    imgs = pipe.sample_images(
+        s2.ema_params, s1.params, jax.random.PRNGKey(1), batch=1, resolution=16
+    )
+    assert imgs.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
