@@ -425,6 +425,213 @@ def convert_unet(sd: SD, cfg: UNetConfig) -> dict:
     return out
 
 
+# ---------------------------------------------- triplane VAE (3D / NeRF)
+
+
+def _dense_from_1x1(src: _Source, key: str) -> dict:
+    """torch Conv2d 1x1 (O, I, 1, 1) -> Flax Dense (I, O)."""
+    w = src.pop(key + ".weight")
+    return {"kernel": linear_kernel(w[:, :, 0, 0]), "bias": src.pop(key + ".bias")}
+
+
+def _inter_block(src: _Source, key0: str, key_attn: str, key1: str,
+                 attn_type: str) -> dict:
+    """[ResnetBlock(3c), attn(3c), ResnetBlock(3c)] -> our InterPlaneBlock
+    {'block_a', 'AttnBlock_0', 'block_b'} (nn/triplane_vae.py)."""
+    out = {"block_a": _vae_resnet(src, key0), "block_b": _vae_resnet(src, key1)}
+    if attn_type != "none":
+        out["AttnBlock_0"] = _vae_attn(src, key_attn)
+    return out
+
+
+def _convert_triplane_encoder(src: _Source, cfg: DDConfig) -> dict:
+    """Encoder_triplane (autoencoder_unet.py:1147-1346): shared-weight plane
+    blocks + channel-concat inter_attn triples; our names are explicit
+    (down_{l}_{b}, inter_{l}, mid_inter) except per-block and mid attns which
+    auto-number AttnBlock_k in call order."""
+    out = {"conv_in": _conv(src, "conv_in")}
+    ab = 0
+    curr = cfg.resolution
+    n = len(cfg.ch_mult)
+    for i_level in range(n):
+        for i_block in range(cfg.num_res_blocks):
+            out[f"down_{i_level}_{i_block}"] = _vae_resnet(
+                src, f"down.{i_level}.block.{i_block}"
+            )
+            if curr in cfg.attn_resolutions:
+                out[f"AttnBlock_{ab}"] = _vae_attn(
+                    src, f"down.{i_level}.attn.{i_block}"
+                )
+                ab += 1
+        if curr in cfg.inter_attn_resolutions:
+            out[f"inter_{i_level}"] = _inter_block(
+                src,
+                f"down.{i_level}.inter_attn.0",
+                f"down.{i_level}.inter_attn.1",
+                f"down.{i_level}.inter_attn.2",
+                cfg.attn_type,
+            )
+        if i_level != n - 1:
+            out[f"downsample_{i_level}"] = {
+                "Conv_0": _conv(src, f"down.{i_level}.downsample.conv")
+            }
+            curr //= 2
+    out["mid_block1"] = _vae_resnet(src, "mid.block_1")
+    if cfg.attn_type != "none":
+        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        ab += 1
+    out["mid_block2"] = _vae_resnet(src, "mid.block_2")
+    # mid inter triple: mid.block_3 / top-level mid_attn / mid.block_4
+    out["mid_inter"] = _inter_block(
+        src, "mid.block_3", "", "mid.block_4", "none"
+    )
+    if cfg.attn_type != "none":
+        out["mid_inter"]["AttnBlock_0"] = _vae_attn(src, "mid_attn")
+    out["norm_out"] = _gn_nested(src, "norm_out")
+    out["conv_out"] = _conv(src, "conv_out")
+    return out
+
+
+def _convert_triplane_decoder(src: _Source, cfg: DDConfig) -> dict:
+    """Decoder_triplane (autoencoder_unet.py:1348-1563).  Per-plane loops
+    share weights; inter_attn applied BEFORE the hdbf tap (forward
+    :1505-1537), exactly as nn/triplane_vae.py TriplaneDecoder."""
+    out = {"conv_in": _conv(src, "conv_in")}
+    ab = 0
+    n = len(cfg.ch_mult)
+    curr = cfg.resolution // 2 ** (n - 1)
+    out["mid_block1"] = _vae_resnet(src, "mid.block_1")
+    if cfg.attn_type != "none":
+        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        ab += 1
+    out["mid_block2"] = _vae_resnet(src, "mid.block_2")
+    out["mid_inter"] = _inter_block(
+        src, "mid.block_3", "", "mid.block_4", "none"
+    )
+    if cfg.attn_type != "none":
+        out["mid_inter"]["AttnBlock_0"] = _vae_attn(src, "mid_attn")
+
+    for i_level in reversed(range(n)):
+        for i_block in range(cfg.num_res_blocks + 1):
+            out[f"up_{i_level}_{i_block}"] = _vae_resnet(
+                src, f"up.{i_level}.block.{i_block}"
+            )
+            if curr in cfg.attn_resolutions:
+                out[f"AttnBlock_{ab}"] = _vae_attn(
+                    src, f"up.{i_level}.attn.{i_block}"
+                )
+                ab += 1
+        if curr in cfg.inter_attn_resolutions:
+            out[f"inter_{i_level}"] = _inter_block(
+                src,
+                f"up.{i_level}.inter_attn.0",
+                f"up.{i_level}.inter_attn.1",
+                f"up.{i_level}.inter_attn.2",
+                cfg.attn_type,
+            )
+        if curr in cfg.hdbf_resolutions:
+            out[f"hdbf_{curr}"] = _conv(src, f"up.{i_level}.hdbf.0")
+        if i_level != 0:
+            out[f"upsample_{i_level}"] = {
+                "Conv_0": _conv(src, f"up.{i_level}.upsample.conv")
+            }
+            curr *= 2
+    out["norm_out"] = _gn_nested(src, "norm_out")
+    out["conv_out"] = _conv(src, "conv_out")
+    return out
+
+
+def convert_triplane_vae(sd: SD, cfg: DDConfig) -> dict:
+    """Reference Autoencoder3D ('vaemodel' entry, autoencoder_unet.py:877-936)
+    -> our TriplaneAutoencoder params.  The per-plane 1x1 quant convs become
+    Dense layers (quant_xy/..., post_xy/...)."""
+    src = _Source(sd)
+    out = {
+        "encoder": _convert_triplane_encoder(src.sub("encoder."), cfg),
+        "decoder": _convert_triplane_decoder(src.sub("decoder."), cfg),
+        "quant_xy": _dense_from_1x1(src, "quant_conv_xy"),
+        "quant_yz": _dense_from_1x1(src, "quant_conv_yz"),
+        "quant_xz": _dense_from_1x1(src, "quant_conv_xz"),
+        "post_xy": _dense_from_1x1(src, "post_quant_conv_xy"),
+        "post_yz": _dense_from_1x1(src, "post_quant_conv_yz"),
+        "post_xz": _dense_from_1x1(src, "post_quant_conv_xz"),
+    }
+    src.finish()
+    return out
+
+
+# ------------------------------------------- stage-1 MLP3D / NeRF / pointnet
+
+
+def _resnet_fc(src: _Source, key: str) -> dict:
+    """reference ResnetBlockFC (blocks.py:673-715) -> {'fc_0','fc_1',
+    'shortcut'?} (shortcut is bias-free)."""
+    out = {"fc_0": _dense(src, key + ".fc_0"), "fc_1": _dense(src, key + ".fc_1")}
+    if src.has(key + ".shortcut.weight"):
+        out["shortcut"] = {
+            "kernel": linear_kernel(src.pop(key + ".shortcut.weight"))
+        }
+    return out
+
+
+def convert_mlp_3d(sd: SD) -> dict:
+    """Reference MLP3D (mlp.py:69-111) -> our INR3D params."""
+    src = _Source(sd)
+    out = {"net_p": _dense(src, "net_p")}
+    for i in (1, 2, 3, 4):
+        out[f"net_res{i}"] = _resnet_fc(src, f"net_res{i}")
+    out["net_out"] = _dense(src, "net_out")
+    src.finish()
+    return out
+
+
+def convert_mlp_nerf(sd: SD, depth: int = 8) -> dict:
+    """Reference MLPNeRF (mlp.py:199-281) -> our INRNeRF params.  The
+    Sequential wrappers (Linear+activation) put the Linear at index 0."""
+    src = _Source(sd)
+    out = {}
+    for i in range(1, depth + 1):
+        out[f"xyz_encoding_{i}"] = _dense(src, f"xyz_encoding_{i}.0")
+    out["xyz_encoding_final"] = _dense(src, "xyz_encoding_final")
+    out["dir_encoding"] = _dense(src, "dir_encoding.0")
+    out["sigma"] = _dense(src, "sigma")
+    out["rgb"] = _dense(src, "rgb.0")
+    src.finish()
+    return out
+
+
+def convert_pointnet(sd: SD, n_blocks: int = 5) -> dict:
+    """Reference LocalPoolPointnet (models/d2c_vae/pointnet.py:8-135) -> our
+    LocalPoolPointnet (fc_pos, block{i}, fc_c)."""
+    src = _Source(sd)
+    out = {"fc_pos": _dense(src, "fc_pos")}
+    for i in range(n_blocks):
+        out[f"block{i}"] = _resnet_fc(src, f"blocks.{i}")
+    out["fc_c"] = _dense(src, "fc_c")
+    src.finish()
+    return out
+
+
+def convert_stage1_3d(data: dict, ddconfig: DDConfig, domain: str,
+                      nerf_depth: int = 8, pointnet_blocks: int = 5) -> dict:
+    """Occupancy / NeRF stage-1 checkpoint ('pointnet'/'vaemodel'/'mlp',
+    tools/d2c_vae/{occupancy,nerf}.py:111-123) -> {'pointnet','vae','mlp'}."""
+    mlp_sd = _as_numpy(data["mlp"])
+    if domain == "occupancy":
+        mlp = convert_mlp_3d(mlp_sd)
+    elif domain == "nerf":
+        mlp = convert_mlp_nerf(mlp_sd, depth=nerf_depth)
+    else:
+        raise ValueError(f"unsupported 3D domain {domain!r}")
+    return {
+        "pointnet": convert_pointnet(
+            _as_numpy(data["pointnet"]), n_blocks=pointnet_blocks
+        ),
+        "vae": convert_triplane_vae(_as_numpy(data["vaemodel"]), ddconfig),
+        "mlp": mlp,
+    }
+
+
 # --------------------------------------------------------------- top level
 
 

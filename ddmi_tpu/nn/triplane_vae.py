@@ -132,6 +132,14 @@ class TriplaneDecoder(nn.Module):
             return mid2(h, deterministic=deterministic)
 
         hs = [mid(h) for h in hs]
+        # channel-concat mid mixing — the reference decoder has it too
+        # (Decoder_triplane mid.block_3/mid_attn/mid.block_4, forward
+        # :1494-1497), not just the encoder
+        hs = list(
+            InterPlaneBlock(block_in, c.dropout, c.attn_type, name="mid_inter")(
+                hs, deterministic=deterministic
+            )
+        )
 
         pyramids: Tuple[List[jnp.ndarray], ...] = ([], [], [])
         for i_level in reversed(range(num_res)):

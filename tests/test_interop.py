@@ -485,6 +485,203 @@ def test_stage2_checkpoint_conversion(tmp_path):
     )
 
 
+# ------------------------------------------------- 3D / NeRF converters
+
+
+def _ref_resnet_fc(sd, key, size_in, size_out):
+    size_h = min(size_in, size_out)
+    _add(sd, f"{key}.fc_0.weight", size_h, size_in)
+    _add(sd, f"{key}.fc_0.bias", size_h)
+    _add(sd, f"{key}.fc_1.weight", size_out, size_h)
+    _add(sd, f"{key}.fc_1.bias", size_out)
+    if size_in != size_out:
+        _add(sd, f"{key}.shortcut.weight", size_out, size_in)
+
+
+def ref_mlp3d_state_dict(in_ch, latent, out_ch, ch):
+    sd = {}
+    _add(sd, "net_p.weight", ch, in_ch)
+    _add(sd, "net_p.bias", ch)
+    _ref_resnet_fc(sd, "net_res1", latent, ch)
+    _ref_resnet_fc(sd, "net_res2", ch + latent, ch)
+    _ref_resnet_fc(sd, "net_res3", ch + latent, ch)
+    _ref_resnet_fc(sd, "net_res4", ch, ch)
+    _add(sd, "net_out.weight", out_ch, ch)
+    _add(sd, "net_out.bias", out_ch)
+    return sd
+
+
+def ref_pointnet_state_dict(dim, hidden, c_dim, n_blocks):
+    sd = {}
+    _add(sd, "fc_pos.weight", 2 * hidden, dim)
+    _add(sd, "fc_pos.bias", 2 * hidden)
+    for i in range(n_blocks):
+        _ref_resnet_fc(sd, f"blocks.{i}", 2 * hidden, hidden)
+    _add(sd, "fc_c.weight", c_dim, hidden)
+    _add(sd, "fc_c.bias", c_dim)
+    return sd
+
+
+def ref_mlp_nerf_state_dict(D, W, in_xyz, in_dir, skips):
+    sd = {}
+    for i in range(D):
+        cin = in_xyz if i == 0 else (W + in_xyz if i in skips else W)
+        _add(sd, f"xyz_encoding_{i + 1}.0.weight", W, cin)
+        _add(sd, f"xyz_encoding_{i + 1}.0.bias", W)
+    _add(sd, "xyz_encoding_final.weight", W, W)
+    _add(sd, "xyz_encoding_final.bias", W)
+    _add(sd, "dir_encoding.0.weight", W // 2, W + in_dir)
+    _add(sd, "dir_encoding.0.bias", W // 2)
+    _add(sd, "sigma.weight", 1, W)
+    _add(sd, "sigma.bias", 1)
+    _add(sd, "rgb.0.weight", 3, W // 2)
+    _add(sd, "rgb.0.bias", 3)
+    return sd
+
+
+def _ref_inter_triple(sd, key_base, attn_key, c3):
+    """inter_attn ModuleList [ResnetBlock(3c), attn(3c), ResnetBlock(3c)]."""
+    _ref_resnet(sd, f"{key_base}.0" if attn_key is None else key_base + ".0", c3, c3)
+    _ref_attn(sd, f"{key_base}.1" if attn_key is None else attn_key, c3)
+    _ref_resnet(sd, f"{key_base}.2" if attn_key is None else key_base + ".2", c3, c3)
+
+
+def ref_triplane_vae_state_dict(cfg: DDConfig, embed_dim: int):
+    """Autoencoder3D keys (autoencoder_unet.py:877-936, Encoder_triplane
+    :1147-1346, Decoder_triplane :1348-1563)."""
+    sd = {}
+    n = len(cfg.ch_mult)
+
+    def enc_dec(prefix, is_enc):
+        if is_enc:
+            cin = cfg.ch
+            _add(sd, f"{prefix}.conv_in.weight", cin, cfg.in_channels, 3, 3)
+            _add(sd, f"{prefix}.conv_in.bias", cin)
+            curr = cfg.resolution
+            for i in range(n):
+                cout = cfg.ch * cfg.ch_mult[i]
+                for j in range(cfg.num_res_blocks):
+                    _ref_resnet(sd, f"{prefix}.down.{i}.block.{j}", cin, cout)
+                    cin = cout
+                    if curr in cfg.attn_resolutions:
+                        _ref_attn(sd, f"{prefix}.down.{i}.attn.{j}", cout)
+                if curr in cfg.inter_attn_resolutions:
+                    _ref_resnet(sd, f"{prefix}.down.{i}.inter_attn.0", 3 * cin, 3 * cin)
+                    _ref_attn(sd, f"{prefix}.down.{i}.inter_attn.1", 3 * cin)
+                    _ref_resnet(sd, f"{prefix}.down.{i}.inter_attn.2", 3 * cin, 3 * cin)
+                if i != n - 1:
+                    _add(sd, f"{prefix}.down.{i}.downsample.conv.weight", cin, cin, 3, 3)
+                    _add(sd, f"{prefix}.down.{i}.downsample.conv.bias", cin)
+                    curr //= 2
+        else:
+            cin = cfg.ch * cfg.ch_mult[n - 1]
+            _add(sd, f"{prefix}.conv_in.weight", cin, cfg.z_channels, 3, 3)
+            _add(sd, f"{prefix}.conv_in.bias", cin)
+        # shared mid structure
+        _ref_resnet(sd, f"{prefix}.mid.block_1", cin, cin)
+        _ref_attn(sd, f"{prefix}.mid.attn_1", cin)
+        _ref_resnet(sd, f"{prefix}.mid.block_2", cin, cin)
+        _ref_resnet(sd, f"{prefix}.mid.block_3", 3 * cin, 3 * cin)
+        _ref_attn(sd, f"{prefix}.mid_attn", 3 * cin)
+        _ref_resnet(sd, f"{prefix}.mid.block_4", 3 * cin, 3 * cin)
+        if not is_enc:
+            curr = cfg.resolution // 2 ** (n - 1)
+            for i in reversed(range(n)):
+                cout = cfg.ch * cfg.ch_mult[i]
+                for j in range(cfg.num_res_blocks + 1):
+                    _ref_resnet(sd, f"{prefix}.up.{i}.block.{j}", cin, cout)
+                    cin = cout
+                    if curr in cfg.attn_resolutions:
+                        _ref_attn(sd, f"{prefix}.up.{i}.attn.{j}", cout)
+                if curr in cfg.inter_attn_resolutions:
+                    _ref_resnet(sd, f"{prefix}.up.{i}.inter_attn.0", 3 * cin, 3 * cin)
+                    _ref_attn(sd, f"{prefix}.up.{i}.inter_attn.1", 3 * cin)
+                    _ref_resnet(sd, f"{prefix}.up.{i}.inter_attn.2", 3 * cin, 3 * cin)
+                if curr in cfg.hdbf_resolutions:
+                    _add(sd, f"{prefix}.up.{i}.hdbf.0.weight", cfg.out_ch, cin, 1, 1)
+                    _add(sd, f"{prefix}.up.{i}.hdbf.0.bias", cfg.out_ch)
+                if i != 0:
+                    _add(sd, f"{prefix}.up.{i}.upsample.conv.weight", cin, cin, 3, 3)
+                    _add(sd, f"{prefix}.up.{i}.upsample.conv.bias", cin)
+                    curr *= 2
+        _add(sd, f"{prefix}.norm_out.weight", cin)
+        _add(sd, f"{prefix}.norm_out.bias", cin)
+        out_c = (2 * cfg.z_channels if cfg.double_z else cfg.z_channels) if is_enc else cfg.out_ch
+        _add(sd, f"{prefix}.conv_out.weight", out_c, cin, 3, 3)
+        _add(sd, f"{prefix}.conv_out.bias", out_c)
+
+    enc_dec("encoder", True)
+    enc_dec("decoder", False)
+    zc = 2 * cfg.z_channels
+    for pl in ("xy", "yz", "xz"):
+        _add(sd, f"quant_conv_{pl}.weight", 2 * embed_dim, zc, 1, 1)
+        _add(sd, f"quant_conv_{pl}.bias", 2 * embed_dim)
+        _add(sd, f"post_quant_conv_{pl}.weight", cfg.z_channels, embed_dim, 1, 1)
+        _add(sd, f"post_quant_conv_{pl}.bias", cfg.z_channels)
+    return sd
+
+
+TINY_TRI = DDConfig(
+    double_z=True, z_channels=8, resolution=16, in_channels=3, out_ch=4,
+    ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+    hdbf_resolutions=(8,), inter_attn_resolutions=(16,),
+)
+
+
+def test_triplane_vae_conversion_matches_init_tree():
+    from ddmi_tpu.interop.reference_ckpt import convert_triplane_vae
+    from ddmi_tpu.nn.triplane_vae import TriplaneAutoencoder
+
+    sd = ref_triplane_vae_state_dict(TINY_TRI, embed_dim=4)
+    params = convert_triplane_vae(sd, TINY_TRI)
+    vae = TriplaneAutoencoder(TINY_TRI, embed_dim=4)
+    planes = tuple(jnp.zeros((1, 16, 16, 3)) for _ in range(3))
+    template = vae.init(
+        {"params": jax.random.PRNGKey(0)}, planes, jax.random.PRNGKey(1)
+    )["params"]
+    _assert_tree_equal(params, template)
+    dec, posts = vae.apply(
+        {"params": params}, planes, jax.random.PRNGKey(2)
+    )
+    assert len(dec) == 3 and len(dec[0]) == 2
+
+
+def test_occupancy_nerf_stage1_conversion():
+    from ddmi_tpu.interop.reference_ckpt import convert_stage1_3d
+    from ddmi_tpu.nn.inr import INR3D, INRNeRF
+    from ddmi_tpu.nn.pointnet import LocalPoolPointnet
+    from ddmi_tpu.core.config import MLPConfig
+
+    data = {
+        "pointnet": ref_pointnet_state_dict(3, 8, 3, 3),
+        "vaemodel": ref_triplane_vae_state_dict(TINY_TRI, embed_dim=4),
+        "mlp": ref_mlp3d_state_dict(3, 4, 1, 32),
+    }
+    out = convert_stage1_3d(data, TINY_TRI, "occupancy", pointnet_blocks=3)
+    assert set(out) == {"pointnet", "vae", "mlp"}
+
+    pn = LocalPoolPointnet(c_dim=3, hidden_dim=8, plane_resolution=4, n_blocks=3)
+    pn_template = pn.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 3)))["params"]
+    _assert_tree_equal(out["pointnet"], pn_template)
+
+    mlp = INR3D(MLPConfig(in_ch=3, out_ch=1, ch=32, latent_dim=4))
+    hdbf = tuple([jnp.zeros((1, r, r, 4)) for r in (4, 8, 16)] for _ in range(3))
+    mlp_template = mlp.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 5, 3)), hdbf
+    )["params"]
+    _assert_tree_equal(out["mlp"], mlp_template)
+
+    # NeRF MLP variant
+    nerf_sd = ref_mlp_nerf_state_dict(4, 16, 9, 5, skips=(2,))
+    data["mlp"] = nerf_sd
+    out = convert_stage1_3d(data, TINY_TRI, "nerf", nerf_depth=4,
+                            pointnet_blocks=3)
+    nerf = INRNeRF(depth=4, width=16, in_channels_xyz=9, in_channels_dir=5,
+                   skips=(2,))
+    nerf_template = nerf.init(jax.random.PRNGKey(0), jnp.zeros((1, 14)))["params"]
+    _assert_tree_equal(out["mlp"], nerf_template)
+
+
 @pytest.mark.slow
 def test_convert_cli_end_to_end(tmp_path):
     """torch.save a synthetic reference ldm checkpoint, run the converter
