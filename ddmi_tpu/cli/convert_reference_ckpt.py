@@ -16,9 +16,12 @@ directly — the migration path for users with trained reference checkpoints
 (reference save formats: tools/d2c_vae/image.py:117-133,
 tools/ldm/image.py:104-119).
 
-Only the image domain is supported (the reference's released checkpoints).
-Optimizer / SN-regularizer / discriminator states are freshly initialized:
-torch Adam moments don't transfer across frameworks meaningfully.
+Supported domains: image, occupancy, NeRF (the video encoder is an
+intentionally different architecture here — TimeSformer axis pooling was
+redesigned — so video checkpoints don't transfer; see README known
+deviations).  Optimizer / SN-regularizer / discriminator states are freshly
+initialized: torch Adam moments don't transfer across frameworks
+meaningfully.
 """
 
 from __future__ import annotations
@@ -30,7 +33,6 @@ import numpy as np
 
 from ddmi_tpu.core.checkpoint import CheckpointManager
 from ddmi_tpu.core.config import load_config
-from ddmi_tpu.domains.image import ImagePipeline
 from ddmi_tpu.interop.reference_ckpt import (
     convert_stage1_image,
     convert_stage2_image,
@@ -71,22 +73,45 @@ def _to_f32(tree):
     )
 
 
+def _convert_stage1_params(data: dict, cfg, pipe, exp: str):
+    """Domain dispatch for the stage-1 tensors inside a reference .pt.
+    Image d2c-vae files store the VAE under 'model'
+    (tools/d2c_vae/image.py:123); everything else uses 'vaemodel'."""
+    m = cfg.model
+    domain = cfg.data.domain
+    if domain == "image":
+        vae_key = "model" if (exp == "d2c-vae" and "model" in data) else "vaemodel"
+        return convert_stage1_image(
+            data, m.ddconfig, m.mlpconfig, vae_key=vae_key
+        )
+    if domain in ("occupancy", "nerf"):
+        from ddmi_tpu.interop.reference_ckpt import convert_stage1_3d
+
+        return convert_stage1_3d(
+            data, m.ddconfig, domain,
+            nerf_depth=getattr(pipe.mlp, "depth", 8),
+            pointnet_blocks=getattr(pipe.pointnet, "n_blocks", 5),
+        )
+    raise SystemExit(
+        f"checkpoint conversion not supported for domain {domain!r} "
+        "(the video encoder is an intentionally different architecture — "
+        "see README known-deviations)"
+    )
+
+
 def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
             steps_per_epoch: int = 1000) -> str:
     cfg = load_config(config_path)
-    assert cfg.data.domain == "image", (
-        "checkpoint conversion currently supports the image domain only"
-    )
-    pipe = ImagePipeline(cfg)
+    from ddmi_tpu.cli.main import build_pipeline
+
+    pipe = build_pipeline(cfg)
     data = load_torch_checkpoint(ckpt_path)
     save_dir = out_dir or cfg.data.save_pth
     step = int(data.get("step", 0))
-
     m = cfg.model
+
     if exp == "d2c-vae":
-        params = _to_f32(
-            convert_stage1_image(data, m.ddconfig, m.mlpconfig)
-        )
+        params = _to_f32(_convert_stage1_params(data, cfg, pipe, exp))
         state = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch)
         _check_tree_match("stage1", params, state.params)
         state = state.replace(
@@ -97,17 +122,15 @@ def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
         ckpt.wait()
     elif exp == "ldm":
         # the ldm file embeds the frozen stage-1 weights too — write both
-        s1_params = _to_f32(
-            convert_stage1_image(
-                data, m.ddconfig, m.mlpconfig, vae_key="vaemodel"
-            )
-        )
+        s1_params = _to_f32(_convert_stage1_params(data, cfg, pipe, exp))
         s1 = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch)
         _check_tree_match("stage1", s1_params, s1.params)
         s1 = s1.replace(params=s1_params)
         c1 = CheckpointManager(save_dir, prefix="stage1")
         c1.save(step, jax.device_get(s1), force=True)
 
+        # the denoiser walk is domain-independent (plain ADM UNet on the
+        # latent layout; mixing_logit NCHW -> NHWC)
         params = _to_f32(convert_stage2_image(data, m.unetconfig))
         try:
             ema = _to_f32(
