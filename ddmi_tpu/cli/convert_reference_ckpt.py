@@ -16,11 +16,9 @@ directly — the migration path for users with trained reference checkpoints
 (reference save formats: tools/d2c_vae/image.py:117-133,
 tools/ldm/image.py:104-119).
 
-Supported domains: image, occupancy, NeRF (the video encoder is an
-intentionally different architecture here — TimeSformer axis pooling was
-redesigned — so video checkpoints don't transfer; see README known
-deviations).  Optimizer / SN-regularizer / discriminator states are freshly
-initialized: torch Adam moments don't transfer across frameworks
+Supported domains: all four — image, video (TimeSformer VAE + triplane
+UNet), occupancy, NeRF.  Optimizer / SN-regularizer / discriminator states
+are freshly initialized: torch Adam moments don't transfer across frameworks
 meaningfully.
 """
 
@@ -84,6 +82,10 @@ def _convert_stage1_params(data: dict, cfg, pipe, exp: str):
         return convert_stage1_image(
             data, m.ddconfig, m.mlpconfig, vae_key=vae_key
         )
+    if domain == "video":
+        from ddmi_tpu.interop.reference_ckpt import convert_stage1_video
+
+        return convert_stage1_video(data, m.ddconfig)
     if domain in ("occupancy", "nerf"):
         from ddmi_tpu.interop.reference_ckpt import convert_stage1_3d
 
@@ -92,11 +94,7 @@ def _convert_stage1_params(data: dict, cfg, pipe, exp: str):
             nerf_depth=getattr(pipe.mlp, "depth", 8),
             pointnet_blocks=getattr(pipe.pointnet, "n_blocks", 5),
         )
-    raise SystemExit(
-        f"checkpoint conversion not supported for domain {domain!r} "
-        "(the video encoder is an intentionally different architecture — "
-        "see README known-deviations)"
-    )
+    raise SystemExit(f"checkpoint conversion not supported for domain {domain!r}")
 
 
 def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
@@ -129,13 +127,17 @@ def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
         c1 = CheckpointManager(save_dir, prefix="stage1")
         c1.save(step, jax.device_get(s1), force=True)
 
-        # the denoiser walk is domain-independent (plain ADM UNet on the
-        # latent layout; mixing_logit NCHW -> NHWC)
-        params = _to_f32(convert_stage2_image(data, m.unetconfig))
+        # denoiser: plain ADM UNet (image/occupancy/nerf latents,
+        # mixing_logit NCHW -> NHWC) or the triplane token UNet (video)
+        if cfg.data.domain == "video":
+            from ddmi_tpu.interop.reference_ckpt import convert_stage2_video
+
+            convert_stage2 = convert_stage2_video
+        else:
+            convert_stage2 = convert_stage2_image
+        params = _to_f32(convert_stage2(data, m.unetconfig))
         try:
-            ema = _to_f32(
-                convert_stage2_image(data, m.unetconfig, use_ema=True)
-            )
+            ema = _to_f32(convert_stage2(data, m.unetconfig, use_ema=True))
         except KeyError:
             ema = params
         s2 = pipe.init_stage2(jax.random.PRNGKey(0), steps_per_epoch)

@@ -27,9 +27,11 @@ numpy arrays directly.  Every converter asserts that all source keys were
 consumed and is exercised against live torch layers in
 tests/test_interop.py.
 
-Scope: the image domain (the reference's released CelebA-HQ/AFHQ
-checkpoints).  Video/occupancy/NeRF stage-1 encoders use different module
-classes; extend with the same walk-the-constructor pattern if needed.
+Scope: all four domains.  Image (the reference's released CelebA-HQ/AFHQ
+checkpoints), occupancy/NeRF (triplane VAE + pointnet + MLP heads), and
+video (TimeSformer VITAutoencoder + VideoDecoder_light + MLPVideo +
+UNetModel_Triplane) — each walks the corresponding reference constructor
+loops.
 """
 
 from __future__ import annotations
@@ -629,6 +631,262 @@ def convert_stage1_3d(data: dict, ddconfig: DDConfig, domain: str,
         ),
         "vae": convert_triplane_vae(_as_numpy(data["vaemodel"]), ddconfig),
         "mlp": mlp,
+    }
+
+
+# ------------------------------------------------------------ video domain
+
+
+def _ln(src: _Source, key: str) -> dict:
+    """torch LayerNorm -> flax {'scale','bias'}."""
+    return {"scale": src.pop(key + ".weight"), "bias": src.pop(key + ".bias")}
+
+
+def _dense_from_conv1d(src: _Source, key: str) -> dict:
+    """torch Conv1d 1x1 (O, I, 1) -> Flax Dense (I, O) over (b, n, c) tokens."""
+    w = src.pop(key + ".weight")
+    assert w.ndim == 3 and w.shape[2] == 1, w.shape
+    return {"kernel": linear_kernel(w[:, :, 0]), "bias": src.pop(key + ".bias")}
+
+
+def _attn1d(src: _Source, key: str) -> dict:
+    """MemoryEfficientAttnBlock1D[_expand] (autoencoder_unet.py:410-534) ->
+    our AttnBlock1D / AttnBlock1DExpand.  Both sides split channels
+    head-major, so the Conv1d->Dense relayout is permutation-free."""
+    return {
+        "GroupNormTokens_0": {"GroupNorm_0": _gn(src, key + ".norm")},
+        "q": _dense_from_conv1d(src, key + ".q"),
+        "k": _dense_from_conv1d(src, key + ".k"),
+        "v": _dense_from_conv1d(src, key + ".v"),
+        "proj_out": _dense_from_conv1d(src, key + ".proj_out"),
+    }
+
+
+def _convert_timesformer(src: _Source, depth: int = 8) -> dict:
+    """TimeSformerEncoder (vit_modules.py:176-248) -> our nn/vit.py
+    TimeSformerEncoder.  layers.{i} = [PreNorm(time Attention),
+    PreNorm(space Attention), PreNorm(GEGLU FeedForward)]; rotary embeddings
+    are computed, not stored."""
+
+    def _prenorm_attn(i: int, j: int) -> tuple:
+        base = f"layers.{i}.{j}"
+        norm = _ln(src, base + ".norm")
+        attn = {
+            "to_qkv": {
+                "kernel": linear_kernel(src.pop(base + ".fn.to_qkv.weight"))
+            },
+            "to_out": _dense(src, base + ".fn.to_out.0"),
+        }
+        return norm, attn
+
+    out = {"to_patch_embedding": _dense(src, "to_patch_embedding")}
+    for i in range(depth):
+        out[f"time_norm_{i}"], out[f"time_attn_{i}"] = _prenorm_attn(i, 0)
+        out[f"space_norm_{i}"], out[f"space_attn_{i}"] = _prenorm_attn(i, 1)
+        out[f"ff_norm_{i}"] = _ln(src, f"layers.{i}.2.norm")
+        # GEGLU FeedForward: net.0 = Linear(dim, 2*4*dim), net.3 = Linear
+        # (vit_modules.py:104-115); chunk order (value, gates) matches
+        out[f"ff_{i}"] = {
+            "Dense_0": _dense(src, f"layers.{i}.2.fn.net.0"),
+            "Dense_1": _dense(src, f"layers.{i}.2.fn.net.3"),
+        }
+    return out
+
+
+def _convert_quant_attn(src: _Source, depth: int = 4) -> dict:
+    """Axis-pooling Transformer (autoencoder_vit.py:76-92) -> our nn/vit.py
+    Transformer.  layers.{i} = [PreNorm(Attention), PreNorm(FeedForward)];
+    FeedForward net.0/net.3 are the two Linears (:31-41)."""
+    out = {}
+    for i in range(depth):
+        base = f"layers.{i}"
+        out[f"attn_norm_{i}"] = _ln(src, base + ".0.norm")
+        out[f"qkv_{i}"] = {
+            "kernel": linear_kernel(src.pop(base + ".0.fn.to_qkv.weight"))
+        }
+        out[f"attn_out_{i}"] = _dense(src, base + ".0.fn.to_out.0")
+        out[f"ff_norm_{i}"] = _ln(src, base + ".1.norm")
+        out[f"ff_{i}"] = {
+            "Dense_0": _dense(src, base + ".1.fn.net.0"),
+            "Dense_1": _dense(src, base + ".1.fn.net.3"),
+        }
+    return out
+
+
+def _convert_video_decoder(src: _Source, cfg: DDConfig) -> dict:
+    """VideoDecoder_light (autoencoder_unet.py:944-1144) -> our
+    nn/video_vae.py VideoDecoder.  Shared-weight plane blocks; 1D cross-plane
+    attention (expand variant) at the bottleneck and at
+    inter_attn_resolutions; hdbf taps; t axis never upsampled (the
+    SharedUpsample conv is the reference's per-level upsample.conv)."""
+    out = {"conv_in": _conv(src, "conv_in")}
+    ab = 0
+    out["mid_block1"] = _vae_resnet(src, "mid.block_1")
+    if cfg.attn_type != "none":
+        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        ab += 1
+    out["mid_block2"] = _vae_resnet(src, "mid.block_2")
+    out["mid_inter_attn"] = _attn1d(src, "mid_attn")
+
+    n = len(cfg.ch_mult)
+    curr = cfg.resolution // 2 ** (n - 1)
+    for i_level in reversed(range(n)):
+        for i_block in range(cfg.num_res_blocks + 1):
+            out[f"up_{i_level}_{i_block}"] = _vae_resnet(
+                src, f"up.{i_level}.block.{i_block}"
+            )
+            if curr in cfg.attn_resolutions:
+                out[f"AttnBlock_{ab}"] = _vae_attn(
+                    src, f"up.{i_level}.attn.{i_block}"
+                )
+                ab += 1
+        if curr in cfg.inter_attn_resolutions:
+            out[f"inter_attn_{i_level}"] = _attn1d(
+                src, f"up.{i_level}.inter_attn.0"
+            )
+        if curr in cfg.hdbf_resolutions:
+            out[f"hdbf_{curr}"] = _conv(src, f"up.{i_level}.hdbf.0")
+        if i_level != 0:
+            out[f"upsample_{i_level}"] = {
+                "Conv_0": _conv(src, f"up.{i_level}.upsample.conv")
+            }
+            curr *= 2
+    out["norm_out"] = _gn_nested(src, "norm_out")
+    out["conv_out"] = _conv(src, "conv_out")
+    return out
+
+
+def convert_video_vae(sd: SD, cfg: DDConfig) -> dict:
+    """Reference VITAutoencoder ('vaemodel' entry, autoencoder_vit.py:93-220)
+    -> our VideoAutoencoder params.  Class tokens / positional embeddings copy
+    verbatim; the per-plane pre/post 1x1 Conv2d quant layers become Dense."""
+    src = _Source(sd)
+    out = {
+        "encoder": _convert_timesformer(src.sub("encoder.")),
+        "decoder": _convert_video_decoder(src.sub("decoder."), cfg),
+    }
+    for t in ("xy", "xt", "yt"):
+        out[f"{t}_token"] = src.pop(f"{t}_token")
+        out[f"{t}_pos"] = src.pop(f"{t}_pos_embedding")
+        out[f"{t}_quant_attn"] = _convert_quant_attn(
+            src.sub(f"{t}_quant_attn.")
+        )
+        out[f"pre_{t}"] = _dense_from_1x1(src, f"pre_{t}")
+        out[f"post_{t}"] = _dense_from_1x1(src, f"post_{t}")
+    src.finish()
+    return out
+
+
+def convert_mlp_video(sd: SD) -> dict:
+    """Reference MLPVideo (mlp.py:114-157) -> our INRVideo params."""
+    src = _Source(sd)
+    out = {f"net_res{i}": _resnet_fc(src, f"net_res{i}") for i in (1, 2, 3, 4)}
+    out["net_out"] = _dense(src, "net_out")
+    src.finish()
+    return out
+
+
+def convert_unet_triplane(sd: SD, cfg: UNetConfig) -> dict:
+    """Reference UNetModel_Triplane state_dict -> our TriplaneUNet params.
+    Same ADM block walk as convert_unet plus the per-block cross-plane 1D
+    attentions: input_attns.{i} (index 0 is an Identity), mid_attn,
+    output_attns.{i} (openaimodel.py:905-1082)."""
+    src = _Source(sd)
+    out = {
+        "time_dense1": _dense(src, "time_embed.0"),
+        "time_dense2": _dense(src, "time_embed.2"),
+        "conv_in": _conv(src, "input_blocks.0.0"),
+    }
+    mc = cfg.model_channels
+
+    idx = 1
+    ds = 1
+    ch = mc
+    for i_level, mult in enumerate(cfg.channel_mult):
+        for i_block in range(cfg.num_res_blocks):
+            key = f"input_blocks.{idx}"
+            out[f"down_{i_level}_{i_block}"] = _adm_resblock(src, key + ".0")
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                out[f"down_attn_{i_level}_{i_block}"] = _adm_attn(
+                    src, key + ".1", _unet_heads(ch, cfg)
+                )
+            out[f"down_xattn_{i_level}_{i_block}"] = _attn1d(
+                src, f"input_attns.{idx}"
+            )
+            idx += 1
+        if i_level != len(cfg.channel_mult) - 1:
+            out[f"downsample_{i_level}"] = {
+                "Conv_0": _conv(src, f"input_blocks.{idx}.0.op")
+            }
+            out[f"down_xattn_ds_{i_level}"] = _attn1d(
+                src, f"input_attns.{idx}"
+            )
+            idx += 1
+            ds *= 2
+
+    out["mid_block1"] = _adm_resblock(src, "middle_block.0")
+    out["mid_attn"] = _adm_attn(src, "middle_block.1", _unet_heads(ch, cfg))
+    out["mid_block2"] = _adm_resblock(src, "middle_block.2")
+    out["mid_xattn"] = _attn1d(src, "mid_attn")
+
+    idx = 0
+    for i_level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i_block in range(cfg.num_res_blocks + 1):
+            key = f"output_blocks.{idx}"
+            out[f"up_{i_level}_{i_block}"] = _adm_resblock(src, key + ".0")
+            ch = mult * mc
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                out[f"up_attn_{i_level}_{i_block}"] = _adm_attn(
+                    src, key + f".{sub}", _unet_heads(ch, cfg)
+                )
+                sub += 1
+            if i_level != 0 and i_block == cfg.num_res_blocks:
+                out[f"upsample_{i_level}"] = {
+                    "Conv_0": _conv(src, key + f".{sub}.conv")
+                }
+                ds //= 2
+            out[f"up_xattn_{i_level}_{i_block}"] = _attn1d(
+                src, f"output_attns.{idx}"
+            )
+            idx += 1
+
+    out["norm_out"] = _gn(src, "out.0")
+    out["conv_out"] = _conv(src, "out.2")
+    src.finish()
+    return out
+
+
+def convert_stage1_video(data: dict, ddconfig: DDConfig) -> dict:
+    """Video stage-1 checkpoint ('vaemodel'/'mlp',
+    tools/d2c_vae/video.py:123-138) -> {'vae','mlp'} params."""
+    return {
+        "vae": convert_video_vae(_as_numpy(data["vaemodel"]), ddconfig),
+        "mlp": convert_mlp_video(_as_numpy(data["mlp"])),
+    }
+
+
+def convert_stage2_video(data: dict, unetconfig: UNetConfig,
+                         use_ema: bool = False) -> dict:
+    """Video stage-2 ('ldm-*.pt') -> {'unet','mixing_logit'}.  The video
+    mixing_logit is stored (1, C, 1) over (b, c, n) tokens (ddpm.py:157-159);
+    ours is (1, 1, C) over (b, n, c)."""
+    if use_ema:
+        sd = {
+            k[len("ema_model."):]: v
+            for k, v in _as_numpy(data["ema"]).items()
+            if k.startswith("ema_model.")
+        }
+    else:
+        sd = _as_numpy(data["diffusion"])
+    unet_sd = {
+        k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    ml = np.asarray(sd["mixing_logit"])  # (1, C, 1)
+    return {
+        "unet": convert_unet_triplane(unet_sd, unetconfig),
+        "mixing_logit": np.transpose(ml, (0, 2, 1)),
     }
 
 

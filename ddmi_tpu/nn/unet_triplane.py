@@ -131,11 +131,15 @@ class TriplaneUNet(nn.Module):
                         name=f"up_attn_{i_level}_{i_block}",
                     )
                     planes = [attn(p) for p in planes]
+                if i_level != 0 and i_block == c.num_res_blocks:
+                    # the reference puts the Upsample INSIDE the level's last
+                    # output block (openaimodel.py:1064-1079), so the
+                    # cross-plane attention that follows each block
+                    # (output_attns, :1189-1209) runs on the UPSAMPLED planes
+                    up = Upsample(self.dtype, name=f"upsample_{i_level}")
+                    planes = [up(p) for p in planes]
+                    ds //= 2
                 planes = xattn(planes, f"up_xattn_{i_level}_{i_block}")
-            if i_level != 0:
-                up = Upsample(self.dtype, name=f"upsample_{i_level}")
-                planes = [up(p) for p in planes]
-                ds //= 2
         assert not skips
 
         norm = nn.GroupNorm(32, epsilon=1e-5, name="norm_out")

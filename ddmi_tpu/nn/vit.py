@@ -72,7 +72,8 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * self.mult * 2)(x)
         a, gates = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim)(a * jax.nn.gelu(gates))
+        # exact (erf) GELU: torch F.gelu default (vit_modules.py:102)
+        return nn.Dense(self.dim)(a * jax.nn.gelu(gates, approximate=False))
 
 
 class FeedForwardMLP(nn.Module):
@@ -84,7 +85,7 @@ class FeedForwardMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = jax.nn.gelu(nn.Dense(self.hidden_dim)(x))
+        h = jax.nn.gelu(nn.Dense(self.hidden_dim)(x), approximate=False)
         return nn.Dense(self.dim)(h)
 
 

@@ -780,3 +780,347 @@ def test_convert_cli_end_to_end(tmp_path):
     )
     assert imgs.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+# --------------------------------------------------------- video converters
+
+
+def test_conv1d_token_dense_layout_matches_torch():
+    """Conv1d 1x1 over (b,c,n) == Dense over (b,n,c) with the converted
+    kernel (the 1D-attention q/k/v/proj relayout)."""
+    from ddmi_tpu.interop.reference_ckpt import _Source, _dense_from_conv1d
+
+    tconv = torch.nn.Conv1d(6, 10, 1)
+    x = np.random.RandomState(7).randn(2, 6, 5).astype(np.float32)
+    want = tconv(torch.from_numpy(x)).detach().numpy()  # (2, 10, 5)
+    src = _Source({
+        "p.weight": tconv.weight.detach().numpy(),
+        "p.bias": tconv.bias.detach().numpy(),
+    })
+    p = _dense_from_conv1d(src, "p")
+    got = x.transpose(0, 2, 1) @ p["kernel"] + p["bias"]
+    np.testing.assert_allclose(got.transpose(0, 2, 1), want, atol=1e-5)
+
+
+def test_geglu_feedforward_matches_torch():
+    """TimeSformer GEGLU FeedForward (vit_modules.py:99-115): torch chunks
+    (value, gates) in that order — our split must match."""
+    from ddmi_tpu.nn.vit import FeedForwardGEGLU
+
+    dim = 16
+    net0 = torch.nn.Linear(dim, dim * 8)
+    net3 = torch.nn.Linear(dim * 4, dim)
+    x = np.random.RandomState(8).randn(2, 5, dim).astype(np.float32)
+    with torch.no_grad():
+        a, gates = net0(torch.from_numpy(x)).chunk(2, dim=-1)
+        want = net3(a * torch.nn.functional.gelu(gates)).numpy()
+
+    params = {
+        "Dense_0": {"kernel": net0.weight.detach().numpy().T,
+                    "bias": net0.bias.detach().numpy()},
+        "Dense_1": {"kernel": net3.weight.detach().numpy().T,
+                    "bias": net3.bias.detach().numpy()},
+    }
+    got = FeedForwardGEGLU(dim).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_attn1d_expand_numerics_match_torch():
+    """AttnBlock1DExpand with converted Conv1d weights == the reference
+    MemoryEfficientAttnBlock1D_expand algorithm (autoencoder_unet.py:470-534):
+    GroupNorm -> q/k/v to C*heads -> head-major split (head_dim = C) ->
+    softmax attention (scale 1/sqrt(C)) -> proj -> residual."""
+    from ddmi_tpu.interop.reference_ckpt import _Source, _attn1d
+    from ddmi_tpu.nn.attention1d import AttnBlock1DExpand
+
+    C, nh, n = 32, 2, 6
+    rs = np.random.RandomState(9)
+    x = rs.randn(2, C, n).astype(np.float32)
+
+    norm = torch.nn.GroupNorm(32, C, eps=1e-6)
+    q = torch.nn.Conv1d(C, C * nh, 1)
+    k = torch.nn.Conv1d(C, C * nh, 1)
+    v = torch.nn.Conv1d(C, C * nh, 1)
+    proj = torch.nn.Conv1d(C * nh, C, 1)
+    with torch.no_grad():
+        for m in (q, k, v, proj):
+            m.weight.normal_(0, 0.2)
+            m.bias.normal_(0, 0.1)
+        norm.weight.uniform_(0.5, 1.5)
+        norm.bias.uniform_(-0.3, 0.3)
+
+        xt = torch.from_numpy(x)
+        h = norm(xt)
+        qq, kk, vv = q(h), k(h), v(h)  # (B, C*nh, n)
+
+        def heads(t):  # 'b c n' -> (B*nh, n, C), head-major channel split
+            t = t.permute(0, 2, 1)  # (B, n, C*nh)
+            return t.reshape(2, n, nh, C).permute(0, 2, 1, 3).reshape(
+                2 * nh, n, C
+            )
+
+        qq, kk, vv = heads(qq), heads(kk), heads(vv)
+        attn = torch.softmax(qq @ kk.transpose(-1, -2) / math.sqrt(C), dim=-1)
+        out = attn @ vv  # (B*nh, n, C)
+        out = out.reshape(2, nh, n, C).permute(0, 2, 1, 3).reshape(
+            2, n, nh * C
+        ).permute(0, 2, 1)  # (B, C*nh, n)
+        want = (xt + proj(out)).numpy()
+
+    sd = {}
+    for name, m in (("q", q), ("k", k), ("v", v), ("proj_out", proj)):
+        sd[f"a.{name}.weight"] = m.weight.detach().numpy()
+        sd[f"a.{name}.bias"] = m.bias.detach().numpy()
+    sd["a.norm.weight"] = norm.weight.detach().numpy()
+    sd["a.norm.bias"] = norm.bias.detach().numpy()
+    params = _attn1d(_Source(sd), "a")
+
+    got = AttnBlock1DExpand(num_heads=nh).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1), want, atol=2e-4, rtol=2e-4
+    )
+
+
+def _ref_ln(sd, key, c):
+    _add(sd, f"{key}.weight", c)
+    _add(sd, f"{key}.bias", c)
+
+
+def _ref_attn1d(sd, key, c, heads, expand):
+    inner = c * heads if expand else c
+    _ref_ln(sd, f"{key}.norm", c)
+    for name in ("q", "k", "v"):
+        _add(sd, f"{key}.{name}.weight", inner, c, 1)
+        _add(sd, f"{key}.{name}.bias", inner)
+    _add(sd, f"{key}.proj_out.weight", c, inner, 1)
+    _add(sd, f"{key}.proj_out.bias", c)
+
+
+def _ref_timesformer(sd, pfx, dim, patch_dim, depth=8, inner=512):
+    """TimeSformerEncoder keys (vit_modules.py:176-219): layers.{i} =
+    [PreNorm(time attn), PreNorm(space attn), PreNorm(GEGLU ff)]."""
+    _add(sd, f"{pfx}to_patch_embedding.weight", dim, patch_dim)
+    _add(sd, f"{pfx}to_patch_embedding.bias", dim)
+    for i in range(depth):
+        for j in (0, 1):
+            _ref_ln(sd, f"{pfx}layers.{i}.{j}.norm", dim)
+            _add(sd, f"{pfx}layers.{i}.{j}.fn.to_qkv.weight", 3 * inner, dim)
+            _add(sd, f"{pfx}layers.{i}.{j}.fn.to_out.0.weight", dim, inner)
+            _add(sd, f"{pfx}layers.{i}.{j}.fn.to_out.0.bias", dim)
+        _ref_ln(sd, f"{pfx}layers.{i}.2.norm", dim)
+        _add(sd, f"{pfx}layers.{i}.2.fn.net.0.weight", dim * 8, dim)
+        _add(sd, f"{pfx}layers.{i}.2.fn.net.0.bias", dim * 8)
+        _add(sd, f"{pfx}layers.{i}.2.fn.net.3.weight", dim, dim * 4)
+        _add(sd, f"{pfx}layers.{i}.2.fn.net.3.bias", dim)
+
+
+def _ref_quant_attn(sd, pfx, dim, depth=4, heads=4, mlp_dim=512):
+    """Axis-pooling Transformer keys (autoencoder_vit.py:76-134):
+    dim_head = dim // 8."""
+    inner = heads * (dim // 8)
+    for i in range(depth):
+        _ref_ln(sd, f"{pfx}layers.{i}.0.norm", dim)
+        _add(sd, f"{pfx}layers.{i}.0.fn.to_qkv.weight", 3 * inner, dim)
+        _add(sd, f"{pfx}layers.{i}.0.fn.to_out.0.weight", dim, inner)
+        _add(sd, f"{pfx}layers.{i}.0.fn.to_out.0.bias", dim)
+        _ref_ln(sd, f"{pfx}layers.{i}.1.norm", dim)
+        _add(sd, f"{pfx}layers.{i}.1.fn.net.0.weight", mlp_dim, dim)
+        _add(sd, f"{pfx}layers.{i}.1.fn.net.0.bias", mlp_dim)
+        _add(sd, f"{pfx}layers.{i}.1.fn.net.3.weight", dim, mlp_dim)
+        _add(sd, f"{pfx}layers.{i}.1.fn.net.3.bias", dim)
+
+
+def ref_video_vae_state_dict(cfg: DDConfig, embed_dim: int, frames: int):
+    """VITAutoencoder keys (autoencoder_vit.py:93-147) + VideoDecoder_light
+    (autoencoder_unet.py:944-1038)."""
+    sd = {}
+    tc = cfg.timesformer_channels
+    patch = 4 if cfg.resolution == 128 else cfg.patch_size
+    _ref_timesformer(sd, "encoder.", tc, 3 * patch * patch)
+    r = cfg.resolution // 8
+    moments = 2 * embed_dim if cfg.double_z else embed_dim
+    for t, pos_n in (("xy", frames + 1), ("xt", r + 1), ("yt", r + 1)):
+        _add(sd, f"{t}_token", 1, 1, tc)
+        _add(sd, f"{t}_pos_embedding", 1, pos_n, tc)
+        _ref_quant_attn(sd, f"{t}_quant_attn.", tc)
+        _add(sd, f"pre_{t}.weight", moments, tc, 1, 1)
+        _add(sd, f"pre_{t}.bias", moments)
+        _add(sd, f"post_{t}.weight", cfg.z_channels, embed_dim, 1, 1)
+        _add(sd, f"post_{t}.bias", cfg.z_channels)
+    # decoder (shared-weight planes)
+    n = len(cfg.ch_mult)
+    cin = cfg.ch * cfg.ch_mult[n - 1]
+    curr = cfg.resolution // 2 ** (n - 1)
+    _add(sd, "decoder.conv_in.weight", cin, cfg.z_channels, 3, 3)
+    _add(sd, "decoder.conv_in.bias", cin)
+    _ref_resnet(sd, "decoder.mid.block_1", cin, cin)
+    if cfg.attn_type != "none":
+        _ref_attn(sd, "decoder.mid.attn_1", cin)
+    _ref_resnet(sd, "decoder.mid.block_2", cin, cin)
+    _ref_attn1d(sd, "decoder.mid_attn", cin, 8, expand=True)
+    for i in reversed(range(n)):
+        cout = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            _ref_resnet(sd, f"decoder.up.{i}.block.{j}", cin, cout)
+            cin = cout
+            if curr in cfg.attn_resolutions:
+                _ref_attn(sd, f"decoder.up.{i}.attn.{j}", cout)
+        if curr in cfg.inter_attn_resolutions:
+            _ref_attn1d(sd, f"decoder.up.{i}.inter_attn.0", cin, 8, expand=True)
+        if curr in cfg.hdbf_resolutions:
+            _add(sd, f"decoder.up.{i}.hdbf.0.weight", cfg.out_ch, cin, 1, 1)
+            _add(sd, f"decoder.up.{i}.hdbf.0.bias", cfg.out_ch)
+        if i != 0:
+            _add(sd, f"decoder.up.{i}.upsample.conv.weight", cin, cin, 3, 3)
+            _add(sd, f"decoder.up.{i}.upsample.conv.bias", cin)
+            curr *= 2
+    _add(sd, "decoder.norm_out.weight", cin)
+    _add(sd, "decoder.norm_out.bias", cin)
+    _add(sd, "decoder.conv_out.weight", cfg.out_ch, cin, 3, 3)
+    _add(sd, "decoder.conv_out.bias", cfg.out_ch)
+    return sd
+
+
+TINY_VID = DDConfig(
+    double_z=True, z_channels=16, resolution=16, in_channels=3, out_ch=4,
+    ch=32, ch_mult=(1, 1, 1, 1), num_res_blocks=1, attn_resolutions=(),
+    hdbf_resolutions=(4, 8), inter_attn_resolutions=(2, 8),
+    attn_type="vanilla-multihead", timesformer_channels=32, patch_size=8,
+    splits=1,
+)
+
+
+def test_video_vae_conversion_matches_init_tree():
+    from ddmi_tpu.interop.reference_ckpt import convert_video_vae
+    from ddmi_tpu.nn.video_vae import VideoAutoencoder
+
+    sd = ref_video_vae_state_dict(TINY_VID, embed_dim=8, frames=4)
+    params = convert_video_vae(sd, TINY_VID)
+    vae = VideoAutoencoder(TINY_VID, embed_dim=8, frames=4)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    template = vae.init(
+        {"params": jax.random.PRNGKey(0)}, video, jax.random.PRNGKey(1)
+    )["params"]
+    _assert_tree_equal(params, template)
+    dec, posts = vae.apply(
+        {"params": params}, jnp.ones((1, 4, 16, 16, 3)), jax.random.PRNGKey(2)
+    )
+    assert len(dec) == 3 and len(dec[0]) == 3  # 3 plane-pyramids x 3 levels
+    assert dec[0][-1].shape == (1, 16, 16, 4)  # xy final plane
+    assert dec[1][-1].shape == (1, 4, 16, 4)  # yt: t axis never upsampled
+    for pyramid in dec:
+        for p in pyramid:
+            assert np.isfinite(np.asarray(p)).all()
+
+
+def ref_mlp_video_state_dict(latent, out_ch, ch):
+    """MLPVideo keys (mlp.py:114-125): triplane-concat PE -> 3*latent in."""
+    sd = {}
+    _ref_resnet_fc(sd, "net_res1", 3 * latent, ch)
+    _ref_resnet_fc(sd, "net_res2", ch + 3 * latent, ch)
+    _ref_resnet_fc(sd, "net_res3", ch + 3 * latent, ch)
+    _ref_resnet_fc(sd, "net_res4", ch, ch)
+    _add(sd, "net_out.weight", out_ch, ch)
+    _add(sd, "net_out.bias", out_ch)
+    return sd
+
+
+def test_mlp_video_conversion_matches_init_tree():
+    from ddmi_tpu.interop.reference_ckpt import convert_mlp_video
+    from ddmi_tpu.nn.inr import INRVideo
+
+    params = convert_mlp_video(ref_mlp_video_state_dict(4, 3, 32))
+    mlp = INRVideo(MLPConfig(in_ch=2, out_ch=3, ch=32, latent_dim=4))
+    hdbf = tuple(
+        [jnp.zeros((1, 4, 4, 4)) for _ in range(3)] for _ in range(3)
+    )
+    coords = {"axes": (jnp.linspace(-1, 1, 2), jnp.linspace(-1, 1, 4),
+                       jnp.linspace(-1, 1, 4))}
+    template = mlp.init(jax.random.PRNGKey(0), coords, hdbf)["params"]
+    _assert_tree_equal(params, template)
+    out = mlp.apply({"params": params}, coords, hdbf)
+    assert out.shape == (1, 2 * 4 * 4, 3)
+
+
+TINY_TRI_UNET = UNetConfig(
+    image_size=4, in_channels=8, model_channels=32, out_channels=8,
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+    num_head_channels=16, triplane=True,
+    plane_sizes=((4, 4), (2, 4), (2, 4)),
+)
+
+
+def ref_unet_triplane_state_dict(cfg: UNetConfig):
+    """UNetModel_Triplane = ADM UNet keys + the cross-plane 1D attentions:
+    input_attns.{i} (0 is an Identity), mid_attn, output_attns.{i}
+    (openaimodel.py:905-1082)."""
+    sd = ref_unet_state_dict(cfg)
+    mc = cfg.model_channels
+    idx, ds, ch = 1, 1, mc
+    for i, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            ch = mult * mc
+            _ref_attn1d(sd, f"input_attns.{idx}", ch, 16, expand=False)
+            idx += 1
+        if i != len(cfg.channel_mult) - 1:
+            _ref_attn1d(sd, f"input_attns.{idx}", ch, 16, expand=False)
+            idx += 1
+            ds *= 2
+    _ref_attn1d(sd, "mid_attn", ch, 16, expand=False)
+    idx = 0
+    for i, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for _ in range(cfg.num_res_blocks + 1):
+            ch = mult * mc
+            _ref_attn1d(sd, f"output_attns.{idx}", ch, 16, expand=False)
+            idx += 1
+    return sd
+
+
+def test_unet_triplane_conversion_matches_init_tree():
+    from ddmi_tpu.interop.reference_ckpt import convert_unet_triplane
+    from ddmi_tpu.nn.unet_triplane import TriplaneUNet
+
+    sd = ref_unet_triplane_state_dict(TINY_TRI_UNET)
+    params = convert_unet_triplane(sd, TINY_TRI_UNET)
+    unet = TriplaneUNet(TINY_TRI_UNET)
+    n_tokens = 4 * 4 + 2 * 4 + 2 * 4
+    template = unet.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, n_tokens, 8)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    _assert_tree_equal(params, template)
+    out = unet.apply(
+        {"params": params}, jnp.ones((2, n_tokens, 8)), jnp.array([3, 7])
+    )
+    assert out.shape == (2, n_tokens, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stage1_stage2_video_checkpoint_conversion():
+    from ddmi_tpu.interop.reference_ckpt import (
+        convert_stage1_video,
+        convert_stage2_video,
+    )
+
+    unet_sd = ref_unet_triplane_state_dict(TINY_TRI_UNET)
+    diffusion = {f"model.{k}": v for k, v in unet_sd.items()}
+    diffusion["mixing_logit"] = np.full((1, 8, 1), -6.0, np.float32)
+    diffusion["betas"] = np.linspace(1e-4, 0.02, 10).astype(np.float32)
+    data = {
+        "step": 99,
+        "vaemodel": ref_video_vae_state_dict(TINY_VID, embed_dim=8, frames=4),
+        "mlp": ref_mlp_video_state_dict(4, 3, 32),
+        "diffusion": diffusion,
+        "ema": {f"ema_model.{k}": v for k, v in diffusion.items()},
+    }
+    s1 = convert_stage1_video(data, TINY_VID)
+    assert set(s1) == {"vae", "mlp"}
+    s2 = convert_stage2_video(data, TINY_TRI_UNET)
+    assert s2["mixing_logit"].shape == (1, 1, 8)
+    ema = convert_stage2_video(data, TINY_TRI_UNET, use_ema=True)
+    np.testing.assert_array_equal(
+        ema["unet"]["conv_in"]["bias"], s2["unet"]["conv_in"]["bias"]
+    )
