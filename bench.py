@@ -76,15 +76,18 @@ def main():
         )
     )
 
-    # compile + warmup
+    # compile + warmup.  Timing via a host-materializing readback, NOT
+    # block_until_ready: on the tunneled axon platform block_until_ready can
+    # return before device completion (see ops/pallas/BENCH.md caveat); a
+    # float() readback cannot.
     out = sample(ldm_params, s1_params, jax.random.PRNGKey(2))
-    out.block_until_ready()
+    float(out.mean())
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = sample(ldm_params, s1_params, jax.random.PRNGKey(3 + i))
-    out.block_until_ready()
+    float(out.mean())
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))

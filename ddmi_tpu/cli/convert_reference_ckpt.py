@@ -116,7 +116,7 @@ def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
             params=params, step=np.asarray(step, np.int32)
         )
         ckpt = CheckpointManager(save_dir, prefix="stage1")
-        ckpt.save(step, jax.device_get(state), force=True)
+        ckpt.save(step, jax.device_get(state), force=True, overwrite=True)
         ckpt.wait()
     elif exp == "ldm":
         # the ldm file embeds the frozen stage-1 weights too — write both
@@ -125,19 +125,27 @@ def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
         _check_tree_match("stage1", s1_params, s1.params)
         s1 = s1.replace(params=s1_params)
         c1 = CheckpointManager(save_dir, prefix="stage1")
-        c1.save(step, jax.device_get(s1), force=True)
+        c1.save(step, jax.device_get(s1), force=True, overwrite=True)
 
         # denoiser: plain ADM UNet (image/occupancy/nerf latents,
-        # mixing_logit NCHW -> NHWC) or the triplane token UNet (video)
-        if cfg.data.domain == "video":
+        # mixing_logit NCHW -> NHWC), triplane token UNet (video), or
+        # MDTv2 when the config sets DiT: True
+        if m.DiT:
+            from ddmi_tpu.interop.reference_ckpt import convert_stage2_mdt
+
+            convert_stage2 = convert_stage2_mdt
+            denoiser_cfg = m.ditconfig
+        elif cfg.data.domain == "video":
             from ddmi_tpu.interop.reference_ckpt import convert_stage2_video
 
             convert_stage2 = convert_stage2_video
+            denoiser_cfg = m.unetconfig
         else:
             convert_stage2 = convert_stage2_image
-        params = _to_f32(convert_stage2(data, m.unetconfig))
+            denoiser_cfg = m.unetconfig
+        params = _to_f32(convert_stage2(data, denoiser_cfg))
         try:
-            ema = _to_f32(convert_stage2(data, m.unetconfig, use_ema=True))
+            ema = _to_f32(convert_stage2(data, denoiser_cfg, use_ema=True))
         except KeyError:
             ema = params
         s2 = pipe.init_stage2(jax.random.PRNGKey(0), steps_per_epoch)
@@ -147,7 +155,7 @@ def convert(exp: str, config_path: str, ckpt_path: str, out_dir: str | None,
             params=params, ema_params=ema, step=np.asarray(step, np.int32)
         )
         c2 = CheckpointManager(save_dir, prefix="stage2")
-        c2.save(step, jax.device_get(s2), force=True)
+        c2.save(step, jax.device_get(s2), force=True, overwrite=True)
         c1.wait()
         c2.wait()
     else:

@@ -30,7 +30,14 @@ class CheckpointManager:
             os.path.join(self.directory, prefix), options=options
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> None:
+    def save(self, step: int, state: Any, force: bool = False,
+             overwrite: bool = False) -> None:
+        """force: save off the save-interval schedule.  overwrite: replace an
+        existing checkpoint at this step (orbax raises StepAlreadyExistsError
+        otherwise — e.g. re-running the reference-checkpoint converter over
+        the same save_pth)."""
+        if overwrite and step in self._mgr.all_steps():
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:

@@ -634,6 +634,94 @@ def convert_stage1_3d(data: dict, ddconfig: DDConfig, domain: str,
     }
 
 
+# ----------------------------------------------------------- MDTv2 (DiT)
+
+
+def _mdt_block(src: _Source, key: str, has_skip: bool) -> dict:
+    """reference MDTBlock (maskedtransformer.py:187-220) -> our MDTBlock.
+    Both sides split the qkv Linear output qkv-major then head-major, so the
+    relayout is permutation-free; relative_position_index is a derived
+    buffer (recomputed here), only the bias table transfers."""
+    src.pop(key + ".attn.rel_pos_bias.relative_position_index")  # buffer
+    out = {
+        "adaLN_modulation": _dense(src, key + ".adaLN_modulation.1"),
+        "attn": {
+            "qkv": _dense(src, key + ".attn.qkv"),
+            "proj": _dense(src, key + ".attn.proj"),
+            "rel_pos_table": src.pop(
+                key + ".attn.rel_pos_bias.relative_position_bias_table"
+            ),
+        },
+        "mlp_fc1": _dense(src, key + ".mlp.fc1"),
+        "mlp_fc2": _dense(src, key + ".mlp.fc2"),
+    }
+    if has_skip:
+        out["skip_linear"] = _dense(src, key + ".skip_linear")
+    return out
+
+
+def convert_mdt(sd: SD, *, patch_size: int, in_channels: int, depth: int,
+                decode_layer: int, masked: bool) -> dict:
+    """Reference MDTv2 state_dict (maskedtransformer.py:246-320) -> our
+    nn/mdt.py MDTv2 params.  The PatchEmbed Conv2d becomes a Dense over
+    (p, p, c)-ordered patch vectors; pos embeddings copy verbatim."""
+    src = _Source(sd)
+    p, C = patch_size, in_channels
+    w = src.pop("x_embedder.proj.weight")  # (D, C, p, p)
+    D = w.shape[0]
+    out = {
+        "x_embedder": {
+            "kernel": np.transpose(w, (2, 3, 1, 0)).reshape(p * p * C, D),
+            "bias": src.pop("x_embedder.proj.bias"),
+        },
+        "pos_embed": src.pop("pos_embed"),
+        "decoder_pos_embed": src.pop("decoder_pos_embed"),
+        "t_mlp1": _dense(src, "t_embedder.mlp.0"),
+        "t_mlp2": _dense(src, "t_embedder.mlp.2"),
+        "final_adaLN": _dense(src, "final_layer.adaLN_modulation.1"),
+        "final_linear": _dense(src, "final_layer.linear"),
+    }
+    half_depth = (depth - decode_layer) // 2
+    for i in range(half_depth):
+        out[f"en_in_{i}"] = _mdt_block(src, f"en_inblocks.{i}", False)
+        out[f"en_out_{i}"] = _mdt_block(src, f"en_outblocks.{i}", True)
+    for i in range(decode_layer):
+        out[f"de_{i}"] = _mdt_block(src, f"de_blocks.{i}", True)
+    if masked:
+        out["sideblock"] = _mdt_block(src, "sideblocks.0", False)
+        out["mask_token"] = src.pop("mask_token")
+    src.finish()
+    return out
+
+
+def convert_stage2_mdt(data: dict, ditconfig, use_ema: bool = False) -> dict:
+    """Stage-2 ('ldm-*.pt') with a DiT/MDTv2 denoiser ('DiT: True',
+    exp/stage.py:196-199) -> {'unet','mixing_logit'}."""
+    if use_ema:
+        sd = {
+            k[len("ema_model."):]: v
+            for k, v in _as_numpy(data["ema"]).items()
+            if k.startswith("ema_model.")
+        }
+    else:
+        sd = _as_numpy(data["diffusion"])
+    model_sd = {
+        k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")
+    }
+    ml = np.asarray(sd["mixing_logit"])  # (1, C, 1, 1)
+    return {
+        "unet": convert_mdt(
+            model_sd,
+            patch_size=ditconfig.patch_size,
+            in_channels=ditconfig.in_channels,
+            depth=ditconfig.depth,
+            decode_layer=ditconfig.decode_layer,
+            masked=ditconfig.mask_ratio is not None,
+        ),
+        "mixing_logit": np.transpose(ml, (0, 2, 3, 1)),
+    }
+
+
 # ------------------------------------------------------------ video domain
 
 

@@ -1124,3 +1124,132 @@ def test_stage1_stage2_video_checkpoint_conversion():
     np.testing.assert_array_equal(
         ema["unet"]["conv_in"]["bias"], s2["unet"]["conv_in"]["bias"]
     )
+
+
+# ----------------------------------------------------------- MDTv2 (DiT)
+
+
+def _ref_mdt_block(sd, key, D, nh, L_side, mlp_ratio=4.0, skip=False):
+    """MDTBlock keys (maskedtransformer.py:187-208); norm1/norm2 have no
+    params (elementwise_affine=False)."""
+    _add(sd, f"{key}.attn.qkv.weight", 3 * D, D)
+    _add(sd, f"{key}.attn.qkv.bias", 3 * D)
+    _add(sd, f"{key}.attn.proj.weight", D, D)
+    _add(sd, f"{key}.attn.proj.bias", D)
+    n_rel = (2 * L_side - 1) ** 2 + 3
+    _add(sd, f"{key}.attn.rel_pos_bias.relative_position_bias_table", n_rel, nh)
+    sd[f"{key}.attn.rel_pos_bias.relative_position_index"] = np.zeros(
+        (L_side * L_side, L_side * L_side), np.int64
+    )
+    hidden = int(D * mlp_ratio)
+    _add(sd, f"{key}.mlp.fc1.weight", hidden, D)
+    _add(sd, f"{key}.mlp.fc1.bias", hidden)
+    _add(sd, f"{key}.mlp.fc2.weight", D, hidden)
+    _add(sd, f"{key}.mlp.fc2.bias", D)
+    _add(sd, f"{key}.adaLN_modulation.1.weight", 6 * D, D)
+    _add(sd, f"{key}.adaLN_modulation.1.bias", 6 * D)
+    if skip:
+        _add(sd, f"{key}.skip_linear.weight", D, 2 * D)
+        _add(sd, f"{key}.skip_linear.bias", D)
+
+
+def ref_mdt_state_dict(input_size, patch_size, in_channels, D, depth, nh,
+                       decode_layer, masked):
+    """MDTv2 keys (maskedtransformer.py:246-320)."""
+    sd = {}
+    L_side = input_size // patch_size
+    L = L_side * L_side
+    _add(sd, "x_embedder.proj.weight", D, in_channels, patch_size, patch_size)
+    _add(sd, "x_embedder.proj.bias", D)
+    _add(sd, "pos_embed", 1, L, D)
+    _add(sd, "decoder_pos_embed", 1, L, D)
+    _add(sd, "t_embedder.mlp.0.weight", D, 256)
+    _add(sd, "t_embedder.mlp.0.bias", D)
+    _add(sd, "t_embedder.mlp.2.weight", D, D)
+    _add(sd, "t_embedder.mlp.2.bias", D)
+    half_depth = (depth - decode_layer) // 2
+    for i in range(half_depth):
+        _ref_mdt_block(sd, f"en_inblocks.{i}", D, nh, L_side)
+        _ref_mdt_block(sd, f"en_outblocks.{i}", D, nh, L_side, skip=True)
+    for i in range(decode_layer):
+        _ref_mdt_block(sd, f"de_blocks.{i}", D, nh, L_side, skip=True)
+    if masked:
+        _ref_mdt_block(sd, "sideblocks.0", D, nh, L_side)
+        _add(sd, "mask_token", 1, 1, D)
+    _add(sd, "final_layer.linear.weight", patch_size * patch_size * in_channels, D)
+    _add(sd, "final_layer.linear.bias", patch_size * patch_size * in_channels)
+    _add(sd, "final_layer.adaLN_modulation.1.weight", 2 * D, D)
+    _add(sd, "final_layer.adaLN_modulation.1.bias", 2 * D)
+    return sd
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_mdt_conversion_matches_init_tree(masked):
+    from ddmi_tpu.core.config import DiTConfig
+    from ddmi_tpu.interop.reference_ckpt import convert_mdt
+    from ddmi_tpu.nn.mdt import MDTv2
+
+    cfg = DiTConfig(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=6,
+        num_heads=4, mask_ratio=0.3 if masked else None, decode_layer=2,
+    )
+    sd = ref_mdt_state_dict(8, 2, 4, 32, 6, 4, 2, masked)
+    params = convert_mdt(
+        sd, patch_size=2, in_channels=4, depth=6, decode_layer=2,
+        masked=masked,
+    )
+    mdt = MDTv2(cfg)
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    if masked:
+        template = mdt.init(
+            {"params": jax.random.PRNGKey(0)}, x, t, enable_mask=True,
+            rng=jax.random.PRNGKey(1),
+        )["params"]
+    else:
+        template = mdt.init({"params": jax.random.PRNGKey(0)}, x, t)["params"]
+    _assert_tree_equal(params, template)
+    out = mdt.apply({"params": params}, jnp.ones((2, 8, 8, 4)), t)
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mdt_patch_embed_matches_torch():
+    """PatchEmbed Conv2d(stride=p) == our Dense over (p,p,c)-ordered patch
+    vectors with the converted kernel."""
+    p, C, D = 2, 3, 8
+    tconv = torch.nn.Conv2d(C, D, p, stride=p)
+    x = np.random.RandomState(11).randn(2, C, 4, 4).astype(np.float32)
+    want = tconv(torch.from_numpy(x)).detach().numpy()  # (2, D, 2, 2)
+    want = want.transpose(0, 2, 3, 1).reshape(2, 4, D)  # (b, L, D) row-major
+
+    w = tconv.weight.detach().numpy()
+    kernel = np.transpose(w, (2, 3, 1, 0)).reshape(p * p * C, D)
+    xh = x.transpose(0, 2, 3, 1)  # NHWC
+    patches = xh.reshape(2, 2, p, 2, p, C).transpose(0, 1, 3, 2, 4, 5
+                                                     ).reshape(2, 4, p * p * C)
+    got = patches @ kernel + tconv.bias.detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stage2_mdt_checkpoint_conversion():
+    from ddmi_tpu.core.config import DiTConfig
+    from ddmi_tpu.interop.reference_ckpt import convert_stage2_mdt
+
+    cfg = DiTConfig(
+        input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=6,
+        num_heads=4, mask_ratio=0.3, decode_layer=2,
+    )
+    sd = ref_mdt_state_dict(8, 2, 4, 32, 6, 4, 2, True)
+    diffusion = {f"model.{k}": v for k, v in sd.items()}
+    diffusion["mixing_logit"] = np.full((1, 4, 1, 1), -6.0, np.float32)
+    data = {
+        "diffusion": diffusion,
+        "ema": {f"ema_model.{k}": v for k, v in diffusion.items()},
+    }
+    s2 = convert_stage2_mdt(data, cfg)
+    assert s2["mixing_logit"].shape == (1, 1, 1, 4)
+    ema = convert_stage2_mdt(data, cfg, use_ema=True)
+    np.testing.assert_array_equal(
+        ema["unet"]["pos_embed"], s2["unet"]["pos_embed"]
+    )
