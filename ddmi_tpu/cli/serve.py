@@ -1,0 +1,49 @@
+"""Serve a trained DDMI model over HTTP with request micro-batching.
+
+Usage:
+  python -m ddmi_tpu.cli.serve --configs configs/ldm/celebahq.yaml \
+      [--port 8500] [--batch 8] [--resolution 256] [--no-warmup]
+
+Loads the stage-1/stage-2 Orbax checkpoints from the config's
+`data.save_pth` (trained here or migrated via cli/convert_reference_ckpt),
+compiles the DDIM+decode+render sampler once for a fixed batch/resolution,
+and coalesces concurrent requests into full device batches.  See
+ddmi_tpu/serve/server.py for the API.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ddmi_tpu.core.config import load_config
+from ddmi_tpu.serve import SamplerService, serve_http
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--configs", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="compiled service batch (requests are coalesced)")
+    ap.add_argument("--resolution", type=int, default=None,
+                    help="render resolution (default: data.test_resolution)")
+    ap.add_argument("--linger-ms", type=float, default=20.0)
+    ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--no-ema", action="store_true",
+                    help="serve raw params instead of the EMA copy")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.configs)
+    service = SamplerService(
+        cfg, service_batch=args.batch, resolution=args.resolution,
+        linger_ms=args.linger_ms, use_ema=not args.no_ema,
+    )
+    if not args.no_warmup:
+        print("warming up (compiles the sampler once)...")
+        service.warmup()
+    serve_http(service, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

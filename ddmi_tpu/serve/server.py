@@ -1,0 +1,306 @@
+"""Batching inference service for trained DDMI models.
+
+The reference has no serving layer (SURVEY.md §1: "no serving layer");
+this is a beyond-reference production component built on the same jitted
+sampling path the bench uses (domains/image.py sample_images: DDIM scan +
+HDBF decode + INR render as ONE compiled program).
+
+Design for TPU serving:
+  * ONE compiled program, static shapes: the service compiles the sampler
+    once for a fixed (service_batch, resolution) and never recompiles.
+  * Micro-batching: concurrent requests are coalesced into full device
+    batches (linger window, default 20 ms) — the DDIM scan costs the same
+    for 1 or `service_batch` samples, so coalescing multiplies throughput.
+  * Per-request determinism: each request's initial diffusion noise is
+    derived host-side from its `seed` (np.random.default_rng), so the same
+    seed reproduces the same sample for a solo request regardless of how
+    earlier requests were batched.  (The INR render's NoiseInjection rng is
+    keyed by the first seed in the batch — a documented approximation.)
+  * bf16 weights on TPU (same memory discipline as bench.py); fp32 on CPU.
+
+Usage:
+    service = SamplerService(cfg)          # restores save_pth checkpoints
+    imgs = service.generate(n=2, seed=7)   # (2, res, res, 3) uint8
+    serve_http(service, port=8500)         # blocking HTTP frontend
+
+HTTP API:
+    GET  /healthz            -> {"ok": true, ...}
+    POST /generate {"n": 1, "seed": 0, "format": "npy"|"png"}
+         npy -> np.load-able bytes (n, res, res, 3) uint8
+         png -> single PNG (a row-major grid when n > 1)
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddmi_tpu.core.checkpoint import CheckpointManager
+from ddmi_tpu.core.config import Config
+
+
+class _Request:
+    __slots__ = ("n", "seed", "event", "result", "error")
+
+    def __init__(self, n: int, seed: int):
+        self.n = n
+        self.seed = seed
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+def _bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+class SamplerService:
+    """Restores stage-1/stage-2 checkpoints from `cfg.data.save_pth` and
+    serves image generation with request coalescing (image domain)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        service_batch: int = 8,
+        resolution: Optional[int] = None,
+        linger_ms: float = 20.0,
+        use_ema: bool = True,
+        bf16: Optional[bool] = None,
+    ):
+        if cfg.data.domain != "image":
+            raise ValueError(
+                f"SamplerService serves the image domain; got {cfg.data.domain!r}"
+            )
+        from ddmi_tpu.domains.image import ImagePipeline
+
+        self.cfg = cfg
+        self.batch = int(service_batch)
+        self.res = int(resolution or cfg.data.test_resolution)
+        self._linger = max(0.0, linger_ms) / 1000.0
+        pipe = ImagePipeline(cfg)
+        u = cfg.model.ddpmconfig
+        self._noise_shape = (u.image_size, u.image_size, u.channels)
+
+        s1 = CheckpointManager(cfg.data.save_pth, prefix="stage1").restore(
+            pipe.init_stage1(jax.random.PRNGKey(0), 1)
+        )
+        s2 = CheckpointManager(cfg.data.save_pth, prefix="stage2").restore(
+            pipe.init_stage2(jax.random.PRNGKey(0), 1)
+        )
+        ldm_params = s2.ema_params if use_ema else s2.params
+        s1_params = s1.params
+        self.step = int(s2.step)
+        if bf16 is None:
+            bf16 = jax.default_backend() not in ("cpu",)
+        if bf16:
+            ldm_params = {
+                "unet": _bf16(ldm_params["unet"]),
+                "mixing_logit": ldm_params["mixing_logit"],
+            }
+            s1_params = _bf16(s1_params)
+        del s1, s2
+
+        batch = self.batch
+        res = self.res
+        self._sample = jax.jit(
+            lambda r, noise: pipe.sample_images(
+                ldm_params, s1_params, r, batch=batch, resolution=res,
+                noise=noise,
+            )
+        )
+
+        self._queue: collections.deque = collections.deque()
+        self._cond = threading.Condition()
+        self._stop = False
+        self._worker_thread = threading.Thread(target=self._worker, daemon=True)
+        self._worker_thread.start()
+
+    # ------------------------------------------------------------- public
+
+    def warmup(self) -> None:
+        """Compile + run one batch so the first real request is fast."""
+        noise = jnp.zeros((self.batch,) + self._noise_shape, jnp.float32)
+        np.asarray(self._sample(jax.random.PRNGKey(0), noise))
+
+    def generate(self, n: int = 1, seed: Optional[int] = None,
+                 timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking: returns (n, res, res, 3) uint8.  Thread-safe; concurrent
+        callers are coalesced into device batches."""
+        if not (1 <= n <= self.batch):
+            raise ValueError(f"n must be in [1, {self.batch}], got {n}")
+        req = _Request(n, int(seed) if seed is not None else time.time_ns() % (1 << 31))
+        with self._cond:
+            if self._stop:
+                raise RuntimeError("service closed")
+            self._queue.append(req)
+            self._cond.notify_all()
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._worker_thread.join(timeout=5)
+
+    # ------------------------------------------------------------- worker
+
+    def _worker(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._stop:
+                    self._cond.wait(0.25)
+                if self._stop:
+                    for r in self._queue:
+                        r.error = RuntimeError("service closed")
+                        r.event.set()
+                    self._queue.clear()
+                    return
+                # linger to coalesce more requests into this device batch
+                deadline = time.monotonic() + self._linger
+                while sum(r.n for r in self._queue) < self.batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._stop:
+                        break
+                    self._cond.wait(remaining)
+                take, count = [], 0
+                while self._queue and count + self._queue[0].n <= self.batch:
+                    r = self._queue.popleft()
+                    take.append(r)
+                    count += r.n
+            try:
+                self._run_batch(take, count)
+            except Exception as e:  # report, don't kill the worker
+                for r in take:
+                    r.error = e
+                    r.event.set()
+
+    def _run_batch(self, take, count: int) -> None:
+        rows = [
+            np.random.default_rng(r.seed).standard_normal(
+                (r.n,) + self._noise_shape, dtype=np.float32
+            )
+            for r in take
+        ]
+        if count < self.batch:  # pad to the compiled batch
+            rows.append(
+                np.random.default_rng(0xDD31).standard_normal(
+                    (self.batch - count,) + self._noise_shape, dtype=np.float32
+                )
+            )
+        noise = jnp.asarray(np.concatenate(rows, axis=0))
+        rng = jax.random.PRNGKey(take[0].seed)
+        out = np.asarray(self._sample(rng, noise))  # (batch, res, res, 3) [0,1]
+        out = (np.clip(out, 0.0, 1.0) * 255.0).astype(np.uint8)
+        ofs = 0
+        for r in take:
+            r.result = out[ofs : ofs + r.n]
+            ofs += r.n
+            r.event.set()
+
+
+# ------------------------------------------------------------------- HTTP
+
+
+def _png_bytes(imgs: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> one PNG (row-major grid when n > 1)."""
+    from PIL import Image
+
+    n, h, w, c = imgs.shape
+    cols = min(4, n)
+    grid_rows = -(-n // cols)
+    canvas = np.zeros((grid_rows * h, cols * w, c), np.uint8)
+    for i, im in enumerate(imgs):
+        r, cc = divmod(i, cols)
+        canvas[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = im
+    buf = io.BytesIO()
+    Image.fromarray(canvas).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _make_handler(service: SamplerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "ok": True,
+                    "step": service.step,
+                    "resolution": service.res,
+                    "service_batch": service.batch,
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                n = int(payload.get("n", 1))
+                seed = payload.get("seed")
+                fmt = payload.get("format", "npy")
+                imgs = service.generate(n=n, seed=seed, timeout=600)
+                if fmt == "png":
+                    body, ctype = _png_bytes(imgs), "image/png"
+                elif fmt == "npy":
+                    buf = io.BytesIO()
+                    np.save(buf, imgs)
+                    body, ctype = buf.getvalue(), "application/octet-stream"
+                else:
+                    self._json(400, {"error": f"unknown format {fmt!r}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def make_http_server(service: SamplerService, host: str = "127.0.0.1",
+                     port: int = 8500) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), _make_handler(service))
+
+
+def serve_http(service: SamplerService, host: str = "127.0.0.1",
+               port: int = 8500) -> None:
+    server = make_http_server(service, host, port)
+    print(f"serving on http://{host}:{server.server_address[1]} "
+          f"(batch={service.batch}, res={service.res}, step={service.step})")
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+        service.close()

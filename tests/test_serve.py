@@ -1,0 +1,163 @@
+"""Serving layer (ddmi_tpu.serve): batching sampler service + HTTP frontend.
+
+Beyond-reference component (the reference has no serving layer, SURVEY.md
+§1); built on the same jitted sample_images program as bench.py."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from ddmi_tpu.core.checkpoint import CheckpointManager
+from ddmi_tpu.core.config import load_config
+
+
+@pytest.fixture(scope="module")
+def served_cfg(tmp_path_factory):
+    """Tiny image config + freshly-initialized stage1/stage2 checkpoints."""
+    tmp = tmp_path_factory.mktemp("serve")
+    save = str(tmp / "save")
+    cfg_yaml = {
+        "model": {
+            "DiT": False, "pretrained": True, "resume": False,
+            "use_fp16": False, "amp": False, "lr": 1e-4, "embed_dim": 4,
+            "params": {
+                "lossconfig": {"epochs": 1, "warmup_epochs": 0,
+                               "save_and_sample_every": 1,
+                               "gradient_accumulate_every": 1},
+                "ddconfig": {
+                    "double_z": True, "z_channels": 8, "resolution": 16,
+                    "in_channels": 3, "out_ch": 4, "ch": 32,
+                    "ch_mult": [1, 1, 2], "num_res_blocks": 1,
+                    "attn_resolutions": [], "hdbf_resolutions": [4, 8],
+                },
+                "mlpconfig": {"in_ch": 2, "out_ch": 3, "ch": 32,
+                              "latent_dim": 4},
+                "unetconfig": {
+                    "image_size": 4, "in_channels": 4, "model_channels": 32,
+                    "out_channels": 4, "num_res_blocks": 1,
+                    "attention_resolutions": [2], "channel_mult": [1, 2],
+                    "num_head_channels": 16,
+                },
+                "ddpmconfig": {"timesteps": 20, "image_size": 4,
+                               "channels": 4, "sampling_timesteps": 4},
+            },
+        },
+        "data": {
+            "domain": "image", "mode": "gen", "dataset": "synthetic",
+            "data_dir": "/tmp/none", "test_data_dir": "/tmp/none",
+            "save_pth": save, "batch_size": 2, "test_batch_size": 2,
+            "test_resolution": 16,
+        },
+    }
+    cfg_path = tmp / "tiny_serve.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = load_config(str(cfg_path))
+
+    from ddmi_tpu.domains.image import ImagePipeline
+
+    pipe = ImagePipeline(cfg)
+    c1 = CheckpointManager(save, prefix="stage1")
+    c1.save(0, jax.device_get(pipe.init_stage1(jax.random.PRNGKey(0), 1)),
+            force=True)
+    c2 = CheckpointManager(save, prefix="stage2")
+    c2.save(0, jax.device_get(pipe.init_stage2(jax.random.PRNGKey(1), 1)),
+            force=True)
+    c1.wait()
+    c2.wait()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def service(served_cfg):
+    from ddmi_tpu.serve import SamplerService
+
+    svc = SamplerService(
+        served_cfg, service_batch=2, resolution=16, linger_ms=30.0,
+        bf16=False,
+    )
+    svc.warmup()
+    yield svc
+    svc.close()
+
+
+def test_generate_shapes_and_coalescing(service):
+    """Two concurrent 1-sample requests coalesce into one device batch."""
+    results = {}
+
+    def call(name, seed):
+        results[name] = service.generate(n=1, seed=seed, timeout=120)
+
+    t1 = threading.Thread(target=call, args=("a", 1))
+    t2 = threading.Thread(target=call, args=("b", 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    for r in results.values():
+        assert r.shape == (1, 16, 16, 3) and r.dtype == np.uint8
+
+
+def test_generate_deterministic_per_seed(service):
+    a = service.generate(n=1, seed=7, timeout=120)
+    b = service.generate(n=1, seed=7, timeout=120)
+    np.testing.assert_array_equal(a, b)
+    c = service.generate(n=1, seed=8, timeout=120)
+    assert not np.array_equal(a, c)
+
+
+def test_generate_validates_n(service):
+    with pytest.raises(ValueError):
+        service.generate(n=0)
+    with pytest.raises(ValueError):
+        service.generate(n=3)  # > service_batch
+
+
+def test_http_frontend(service):
+    from ddmi_tpu.serve import make_http_server
+
+    server = make_http_server(service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["resolution"] == 16
+
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"n": 2, "seed": 3, "format": "npy"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            imgs = np.load(io.BytesIO(r.read()))
+        assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"n": 2, "seed": 3, "format": "png"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            png = r.read()
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(png))
+        assert im.size == (32, 16)  # 2-wide grid of 16x16
+
+        # bad request -> 400
+        req = urllib.request.Request(
+            base + "/generate",
+            data=json.dumps({"n": 99}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
