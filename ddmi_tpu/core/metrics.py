@@ -21,9 +21,35 @@ class MetricsLogger:
         self.stdout_every = stdout_every
         self._t0 = time.perf_counter()
         self._last_step_time = self._t0
+        self._pending = []
+
+    def defer(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
+        """Queue a step's metrics WITHOUT materializing device values — no
+        host-device sync, so the training loop keeps its dispatch queue deep.
+        Call flush() periodically (one sync for the whole chunk)."""
+        self._pending.append((step, time.perf_counter(), prefix, metrics))
+
+    def flush(self) -> Optional[Dict[str, Any]]:
+        """Materialize all deferred metrics in ONE device_get, write them to
+        the jsonl stream, and return the last record (host floats) — the
+        caller's hook point for NaN detection."""
+        if not self._pending:
+            return None
+        values = jax.device_get([m for (_, _, _, m) in self._pending])
+        rec = None
+        for (step, t, prefix, _), mv in zip(self._pending, values):
+            rec = self._write(step, t, mv, prefix)
+        self._pending.clear()
+        return rec
 
     def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
-        now = time.perf_counter()
+        """Immediate log (materializes device values — one sync per call).
+        Hot training loops should prefer defer()+flush()."""
+        self._write(step, time.perf_counter(), jax.device_get(metrics), prefix)
+
+    def _write(self, step: int, now: float, metrics, prefix: str) -> Dict[str, Any]:
+        # step_time measures host timestamp spacing: true device step time
+        # for immediate log(), dispatch cadence for deferred records.
         rec = {
             "step": int(step),
             "time": now - self._t0,
@@ -44,6 +70,7 @@ class MetricsLogger:
                     if k not in ("time",)
                 )
                 print(f"[{prefix or 'train'}] {pretty}", flush=True)
+        return rec
 
     def close(self):
         self._f.close()

@@ -87,18 +87,58 @@ class Trainer:
         batch = jax.tree_util.tree_map(fix, batch)
         return jax.device_put(batch, self.data_sh)
 
+    def _batches(self):
+        """Iterate the dataset through a background prefetch thread (depth
+        `data.extra.prefetch`, default 2; 0 disables): host-side batch
+        construction (decode/augment) overlaps device compute.  Exceptions
+        from the loader are re-raised in the training thread."""
+        depth = int(self.cfg.data.extra.get("prefetch", 2))
+        if depth <= 0:
+            yield from self.data
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        sentinel, failure = object(), []
+
+        def worker():
+            try:
+                for item in self.data:
+                    q.put(item)
+            except BaseException as e:  # surface loader errors
+                failure.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if failure:
+            raise failure[0]
+
     def _steps_per_epoch(self) -> int:
         try:
             return max(1, len(self.data))
         except TypeError:
             return 1000
 
-    def _check_finite(self, step: int, metrics) -> None:
-        if self.nan_check_every <= 0 or step % self.nan_check_every:
-            return
-        loss = metrics.get("loss")
-        if loss is not None and not np.isfinite(np.asarray(jax.device_get(loss))):
-            raise NaNLossError(f"non-finite loss at step {step}: {loss}")
+    def _log_step(self, step: int, metrics, prefix: str) -> None:
+        """Deferred logging + throttled NaN guard.  Metrics stay on-device
+        until the periodic flush (ONE device_get per chunk) so the step loop
+        never blocks on the device — `int(state.step)`/`float(loss)` per step
+        would serialize dispatch and stall the device between steps."""
+        self.logger.defer(step, metrics, prefix=prefix)
+        if self.nan_check_every > 0 and step % self.nan_check_every == 0:
+            rec = self.logger.flush()
+            loss = (rec or {}).get(prefix + "loss")
+            if loss is not None and not np.isfinite(loss):
+                raise NaNLossError(f"non-finite loss at step {step}: {loss}")
 
     def _maybe_profile(self, step: int):
         """Capture a jax.profiler trace of steps [2, 2+profile_steps) when
@@ -139,16 +179,17 @@ class Trainer:
         if eval_hook is None:
             eval_hook = default_stage1_eval_hook
 
+        step = int(state.step)
         for epoch in range(epochs):
-            for batch in self.data:
+            for batch in self._batches():
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(
                     state, self._put_batch(batch), jax.device_put(step_rng, self.repl)
                 )
-                step = int(state.step)
-                self.logger.log(step, metrics, prefix="s1/")
-                self._check_finite(step, metrics)
+                step += 1
+                self._log_step(step, metrics, "s1/")
                 self._maybe_profile(step)
+            self.logger.flush()
             if epoch % save_every == 0 or epoch == epochs - 1:
                 ckpt.save(int(state.step), jax.device_get(state))
                 if eval_hook is not None:
@@ -187,8 +228,9 @@ class Trainer:
             eval_hook = default_stage2_eval_hook
         self._stage1_params_for_eval = stage1_params
 
+        step = int(state.step)
         for epoch in range(epochs):
-            for batch in self.data:
+            for batch in self._batches():
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(
                     state,
@@ -196,10 +238,10 @@ class Trainer:
                     self._put_batch(batch),
                     jax.device_put(step_rng, self.repl),
                 )
-                step = int(state.step)
-                self.logger.log(step, metrics, prefix="s2/")
-                self._check_finite(step, metrics)
+                step += 1
+                self._log_step(step, metrics, "s2/")
                 self._maybe_profile(step)
+            self.logger.flush()
             if epoch % save_every == 0 or epoch == epochs - 1:
                 ckpt.save(int(state.step), jax.device_get(state))
                 if eval_hook is not None:
