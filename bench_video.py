@@ -1,0 +1,83 @@
+"""Secondary benchmark: video generation throughput on one chip.
+
+The reference's video headline protocol is FVD over 16-frame 256^2
+SkyTimelapse clips sampled at NFE=200 (configs/ldm/skytimelapse.yaml:73,
+evals/eval.py:254-345).  This measures that full generation path — DDIM scan
+over [xy|xt|yt] latent tokens through the triplane UNet (cross-plane 1D
+attention after every block) + shared-weight VideoDecoder + per-frame voxel
+INR render — as one jitted program.
+
+Same discipline as bench.py: params-only init, bf16 weights, persistent
+compile cache, host-materializing readback timing.  Prints ONE JSON line
+(bench.py remains the driver headline; this is the measured video record
+for BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from ddmi_tpu.core.config import load_config
+from ddmi_tpu.domains.video import VideoPipeline
+
+NFE = 200  # reference FVD protocol (configs/ldm/skytimelapse.yaml:73)
+BATCH = 2
+FRAMES = 16
+
+
+def _bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def main():
+    cfg = load_config("configs/ldm/skytimelapse.yaml")
+    object.__setattr__(cfg.model.ddpmconfig, "sampling_timesteps", NFE)
+    pipe = VideoPipeline(cfg)
+
+    s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
+    s2 = pipe.init_stage2_params(jax.random.PRNGKey(1))
+    ldm_params = {"unet": _bf16(s2["unet"]), "mixing_logit": s2["mixing_logit"]}
+    s1_params = _bf16(s1)
+    jax.block_until_ready((ldm_params, s1_params))
+    del s1, s2
+
+    sample = jax.jit(
+        lambda lp, sp, r: pipe.sample_videos(lp, sp, r, batch=BATCH)
+    )
+
+    out = sample(ldm_params, s1_params, jax.random.PRNGKey(2))
+    float(out.mean())  # host readback: compile + warmup fully complete
+
+    iters = 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = sample(ldm_params, s1_params, jax.random.PRNGKey(3 + i))
+    float(out.mean())
+    dt = time.perf_counter() - t0
+
+    videos_per_sec = (iters * BATCH) / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"videos/sec/chip, {FRAMES}f 256^2 gen, NFE={NFE}",
+                "value": round(videos_per_sec, 4),
+                "unit": "videos/sec/chip",
+                "frames_per_sec": round(videos_per_sec * FRAMES, 2),
+                "batch": BATCH,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,36 @@ class VideoPipeline:
         xt.append(jnp.zeros((b, self.frames, c.resolution, c.out_ch)))
         return (xy, yt, xt)
 
+    def init_stage1_params(self, rng):
+        """Params-only stage-1 init (no optimizer/SN/disc state) — for
+        sampling/bench/serving.  The INR init runs on a tiny coordinate set:
+        its params are token-count independent, and the full (t, res, res)
+        voxel grid would make init itself a memory-heavy forward."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        x = jnp.zeros((1, self.frames, self.res, self.res, 3))
+        vae_params = self.vae.init({"params": r1}, x, r2)["params"]
+        hdbf = self._dummy_hdbf(1)
+        small = {"axes": (jnp.linspace(-1, 1, 2), jnp.linspace(-1, 1, 4),
+                          jnp.linspace(-1, 1, 4))}
+        mlp_params = self.mlp.init({"params": r3}, small, hdbf)["params"]
+        return {"vae": vae_params, "mlp": mlp_params}
+
+    def init_stage2_params(self, rng):
+        """Params-only stage-2 init (no EMA copy / optimizer state)."""
+        m = self.cfg.model
+        r1, _ = jax.random.split(rng)
+        x = jnp.zeros((1, self.n_latent_tokens, m.ddpmconfig.channels))
+        unet_params = self.unet.init(
+            {"params": r1}, x, jnp.zeros((1,), jnp.int32)
+        )["params"]
+        return {
+            "unet": unet_params,
+            "mixing_logit": jnp.full(
+                (1, 1, m.ddpmconfig.channels), m.ddpmconfig.mixed_init,
+                jnp.float32,
+            ),
+        }
+
     def stage1_optimizer(self, steps_per_epoch: int):
         lc = self.lc
         accum = max(1, lc.gradient_accumulate_every)

@@ -1,16 +1,16 @@
-"""Memory-efficient attention: online-softmax over KV chunks.
+"""Memory-efficient attention: online-softmax over KV chunks, tiled over Q.
 
 TPU-native replacement for the reference's xformers
 `memory_efficient_attention` dependency (attention_efficient.py:233,
 autoencoder_unet.py:326) used on the long cross-plane video sequences
-(up to 256^2 + 2*16*256 = 73k tokens).  A lax.scan over KV blocks keeps the
-attention-matrix working set at (n_q_chunk x kv_chunk) instead of (n x n);
-XLA keeps the matmuls on the MXU.  Falls back to one dense softmax when the
-sequence is short."""
+(up to 256^2 + 2*16*256 = 73k tokens).  Working set is bounded at
+(q_chunk x kv_chunk) scores regardless of sequence length: a lax.map over
+query blocks wraps a lax.scan over KV blocks (without the query tiling, a
+73k-token sequence materializes an (n x kv_chunk) f32 score tensor — 19 GB
+at batch 2 x 8 heads, found by bench_video.py OOM on a 16 GB v5e).  Falls
+back to one dense softmax when the sequence is short."""
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,50 +18,22 @@ import jax.numpy as jnp
 _DENSE_MAX = 8192
 
 
-def attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    kv_chunk: int = 4096,
-    scale: float | None = None,
-) -> jnp.ndarray:
-    """q,k,v: (..., n, d) with any leading batch/head dims; returns (..., n, d).
-
-    Uses streaming softmax when n > _DENSE_MAX; exact (not approximate)."""
-    n = q.shape[-2]
+def _stream_kv(q, k, v, mask_base, kv_chunk: int):
+    """Online-softmax over KV chunks for a (small) query block.
+    q: (..., nq, d); k/v: (..., nk_padded, d) with nk_padded % kv_chunk == 0;
+    mask_base: (nk_padded,) bool validity."""
     d = q.shape[-1]
-    if scale is None:
-        scale = d**-0.5
-    q = q * scale
+    nq = q.shape[-2]
+    chunks = k.shape[-2] // kv_chunk
 
-    if n <= _DENSE_MAX:
-        sim = jnp.einsum("...id,...jd->...ij", q, k)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
-        return jnp.einsum("...ij,...jd->...id", attn, v)
-
-    nk = k.shape[-2]
-    pad = (-nk) % kv_chunk
-    if pad:
-        k = jnp.pad(k, [(0, 0)] * (k.ndim - 2) + [(0, pad), (0, 0)])
-        v = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad), (0, 0)])
-        mask_base = jnp.arange(nk + pad) < nk
-    else:
-        mask_base = None
-    chunks = (nk + pad) // kv_chunk
-
-    kc = jnp.moveaxis(
-        k.reshape(k.shape[:-2] + (chunks, kv_chunk, d)), -3, 0
-    )  # (chunks, ..., kv_chunk, d)
+    kc = jnp.moveaxis(k.reshape(k.shape[:-2] + (chunks, kv_chunk, d)), -3, 0)
     vc = jnp.moveaxis(v.reshape(v.shape[:-2] + (chunks, kv_chunk, d)), -3, 0)
-    if mask_base is not None:
-        maskc = mask_base.reshape(chunks, kv_chunk)
-    else:
-        maskc = jnp.ones((chunks, kv_chunk), bool)
+    maskc = mask_base.reshape(chunks, kv_chunk)
 
     batch_shape = q.shape[:-2]
-    m0 = jnp.full(batch_shape + (n,), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros(batch_shape + (n,), jnp.float32)
-    acc0 = jnp.zeros(batch_shape + (n, d), jnp.float32)
+    m0 = jnp.full(batch_shape + (nq,), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros(batch_shape + (nq,), jnp.float32)
+    acc0 = jnp.zeros(batch_shape + (nq, d), jnp.float32)
 
     def body(carry, inp):
         m, l, acc = carry
@@ -79,6 +51,54 @@ def attention(
         )
         return (m_new, l, acc), None
 
+    # remat the body so autodiff recomputes each tile's score matrix in the
+    # backward pass instead of storing (q_chunk x kv_chunk) per KV step —
+    # without this, training through a long sequence stores ~n^2 residuals
+    body = jax.checkpoint(body, prevent_cse=False)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, maskc))
-    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return acc / jnp.maximum(l, 1e-30)[..., None]
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_chunk: int = 2048,
+    q_chunk: int = 2048,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """q,k,v: (..., n, d) with any leading batch/head dims; returns (..., n, d).
+
+    Exact (not approximate); streaming softmax when n > _DENSE_MAX with
+    memory bounded by (q_chunk x kv_chunk) scores per step."""
+    n = q.shape[-2]
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    q = q * scale
+
+    if n <= _DENSE_MAX:
+        sim = jnp.einsum("...id,...jd->...ij", q, k)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+        return jnp.einsum("...ij,...jd->...id", attn, v)
+
+    nk = k.shape[-2]
+    pad_k = (-nk) % kv_chunk
+    if pad_k:
+        k = jnp.pad(k, [(0, 0)] * (k.ndim - 2) + [(0, pad_k), (0, 0)])
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad_k), (0, 0)])
+    mask_base = jnp.arange(nk + pad_k) < nk
+
+    pad_q = (-n) % q_chunk
+    if pad_q:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 2) + [(0, pad_q), (0, 0)])
+    q_blocks = (n + pad_q) // q_chunk
+    qb = jnp.moveaxis(
+        q.reshape(q.shape[:-2] + (q_blocks, q_chunk, d)), -3, 0
+    )  # (q_blocks, ..., q_chunk, d)
+
+    out = jax.lax.map(lambda qi: _stream_kv(qi, k, v, mask_base, kv_chunk), qb)
+    out = jnp.moveaxis(out, 0, -3).reshape(
+        q.shape[:-2] + (n + pad_q, d)
+    )[..., :n, :]
     return out.astype(v.dtype)

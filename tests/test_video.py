@@ -114,10 +114,15 @@ def test_chunked_attention_matches_dense(np_rng):
     try:
         mea._DENSE_MAX = 10  # force streaming path with uneven chunks
         chunked = mea.attention(q, k, v, kv_chunk=32)
+        # uneven Q tiling too (100 -> 4 padded blocks of 32)
+        qtiled = mea.attention(q, k, v, kv_chunk=32, q_chunk=32)
     finally:
         mea._DENSE_MAX = old
     np.testing.assert_allclose(
         np.asarray(chunked), np.asarray(dense), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(qtiled), np.asarray(dense), atol=2e-5, rtol=1e-4
     )
 
 
