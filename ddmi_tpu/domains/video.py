@@ -178,9 +178,22 @@ class VideoPipeline:
             {"params": p_vae}, compute_cast(x, amp), rng_post,
             sample_posterior=True, deterministic=True,
         )
-        coords = video_axes(t, self.res, self.res)
-        out_tok = self.mlp.apply({"params": p_mlp}, coords, hdbf)
-        output = f32(out_tok).reshape(b, t, self.res, self.res, -1)
+        # Render the clip frame-by-frame with remat: one full-voxel INR call
+        # holds (t*res^2)-token activations for backward — multi-GB at
+        # production scale (16f x 256^2 OOM'd a 16 GB v5e).  Per-frame
+        # recompute bounds it to res^2 tokens; token order matches the
+        # single-call video_axes path (t-major).
+        ys = jnp.linspace(-1.0, 1.0, self.res)
+        ts = jnp.linspace(-1.0, 1.0, t)
+
+        def render_frame(t1):
+            coords = {"axes": (t1.reshape(1), ys, ys)}
+            return self.mlp.apply({"params": p_mlp}, coords, hdbf)
+
+        out_tok = jax.lax.map(jax.checkpoint(render_frame), ts)  # (t,b,hw,c)
+        output = f32(out_tok).transpose(1, 0, 2, 3).reshape(
+            b, t, self.res, self.res, -1
+        )
 
         recon = jnp.abs(output - x).sum(axis=(1, 2, 3, 4)).mean()
         kld = sum(f32(p.kl()) for p in posts).mean()
