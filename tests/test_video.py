@@ -192,3 +192,49 @@ def test_sample_videos_framewise_render_matches_full_grid(vpipe, np_rng):
     per = jax.lax.map(render_frame, ts)
     per = np.asarray(jnp.moveaxis(per, 0, 1).reshape(1, 4, 32, 32, -1))
     np.testing.assert_allclose(per, full, rtol=1e-5, atol=1e-5)
+
+
+def test_per_frame_render_matches_full_grid(np_rng):
+    """stage1_loss renders frame-by-frame (memory-bounded); must equal the
+    single full-voxel INRVideo call (t-major token order)."""
+    import jax
+    from ddmi_tpu.core.config import MLPConfig
+    from ddmi_tpu.nn.inr import INRVideo
+
+    t, h, c = 3, 8, 4
+    mlp = INRVideo(MLPConfig(in_ch=2, out_ch=3, ch=32, latent_dim=c))
+    mk = lambda tb: [
+        jnp.asarray(np_rng.standard_normal((2, a, b, c)).astype(np.float32))
+        for a, b in tb
+    ]
+    hdbf = (
+        mk([(4, 4), (8, 8), (8, 8)]),          # xy
+        mk([(t, 4), (t, 8), (t, 8)]),          # yt
+        mk([(t, 4), (t, 8), (t, 8)]),          # xt
+    )
+    params = mlp.init(
+        jax.random.PRNGKey(0),
+        {"axes": (jnp.linspace(-1, 1, t), jnp.linspace(-1, 1, h),
+                  jnp.linspace(-1, 1, h))},
+        hdbf,
+    )["params"]
+
+    full = mlp.apply(
+        {"params": params},
+        {"axes": (jnp.linspace(-1, 1, t), jnp.linspace(-1, 1, h),
+                  jnp.linspace(-1, 1, h))},
+        hdbf,
+    )  # (2, t*h*h, 3), t-major
+
+    ys = jnp.linspace(-1.0, 1.0, h)
+    ts = jnp.linspace(-1.0, 1.0, t)
+    per_frame = jax.lax.map(
+        lambda t1: mlp.apply(
+            {"params": params}, {"axes": (t1.reshape(1), ys, ys)}, hdbf
+        ),
+        ts,
+    )  # (t, 2, h*h, 3)
+    stitched = per_frame.transpose(1, 0, 2, 3).reshape(2, t * h * h, 3)
+    np.testing.assert_allclose(
+        np.asarray(stitched), np.asarray(full), atol=1e-5, rtol=1e-5
+    )
