@@ -1,7 +1,7 @@
 """Headline benchmark: samples/sec/chip for 256x256 image generation at
 NFE=100 (BASELINE.md north star).
 
-Runs the full generation path — DDIM scan (100 steps of the ~400M-param ADM
+Runs the full generation path — DDIM scan (100 steps of the 1.01B-param ADM
 UNet at 64x64x64 latents) + HDBF decode + INR render to 256^2 — as ONE jitted
 program on the real TPU chip, and prints one JSON line.
 

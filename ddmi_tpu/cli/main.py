@@ -175,8 +175,11 @@ def main(argv=None):
     if args.exp == "d2c-vae":
         trainer.train_stage1(resume=cfg.model.resume)
     else:
-        s1 = trainer.load_stage1()
-        trainer.train_stage2(s1.params, resume=cfg.model.resume)
+        # params only: keeping the full Stage1State referenced would pin the
+        # stage-1 optimizer/SN buffers in HBM for the whole stage-2 run
+        trainer.train_stage2(
+            trainer.load_stage1_params(), resume=cfg.model.resume
+        )
 
 
 if __name__ == "__main__":

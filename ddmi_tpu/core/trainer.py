@@ -257,6 +257,12 @@ class Trainer:
         ckpt = CheckpointManager(self.save_dir, prefix="stage1")
         return ckpt.restore(state)
 
+    def load_stage1_params(self):
+        """Frozen stage-1 params only — the full state's optimizer/SN
+        buffers (GBs at production scale) must not stay pinned in HBM while
+        stage 2 trains or samples."""
+        return self.load_stage1().params
+
     def load_stage2(self):
         spe = self._steps_per_epoch()
         state = self.pipe.init_stage2(jax.random.PRNGKey(0), spe)

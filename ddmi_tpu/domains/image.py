@@ -408,11 +408,9 @@ class ImagePipeline:
 
     def stage2_optimizer(self) -> optax.GradientTransformation:
         """AdamW(lr, wd=0) + grad accumulation (tools/ldm/image.py:61)."""
-        accum = max(1, self.lc.gradient_accumulate_every)
-        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        return tx
+        from ddmi_tpu.core.optim import stage2_adamw
+
+        return stage2_adamw(self.cfg)
 
     def encode_latents(self, stage1_params, x, rng):
         """Frozen stage-1 encode (tools/ldm/image.py:152-158): resize-256,

@@ -359,11 +359,9 @@ class NeRFPipeline:
         )
 
     def stage2_optimizer(self):
-        accum = max(1, self.lc.gradient_accumulate_every)
-        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        return tx
+        from ddmi_tpu.core.optim import stage2_adamw
+
+        return stage2_adamw(self.cfg)
 
     def stage2_loss(self, params, stage1_params, batch, rng):
         rng_enc, rng_diff = jax.random.split(rng)

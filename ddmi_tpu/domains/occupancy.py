@@ -220,11 +220,9 @@ class OccupancyPipeline:
         )
 
     def stage2_optimizer(self):
-        accum = max(1, self.lc.gradient_accumulate_every)
-        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        return tx
+        from ddmi_tpu.core.optim import stage2_adamw
+
+        return stage2_adamw(self.cfg)
 
     def encode_latents(self, stage1_params, cloud, rng):
         """z = channel-concat sampled plane latents [xy|xz|yz]

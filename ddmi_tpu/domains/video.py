@@ -348,11 +348,9 @@ class VideoPipeline:
         )
 
     def stage2_optimizer(self):
-        accum = max(1, self.lc.gradient_accumulate_every)
-        tx = optax.adamw(self.cfg.model.lr, weight_decay=0.0)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        return tx
+        from ddmi_tpu.core.optim import stage2_adamw
+
+        return stage2_adamw(self.cfg)
 
     def encode_latents(self, stage1_params, x, rng):
         """Frozen encode -> sampled [xy|xt|yt] tokens, stop-grad

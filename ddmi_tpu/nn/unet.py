@@ -103,8 +103,14 @@ class AttentionBlock(nn.Module):
             )
 
             blk = min(n, 1024)
+            # backward blocks MUST be given or differentiating the kernel
+            # fails ("not all backward blocks are specified") — stage-2
+            # training differentiates this path at 32x32 (1024 tokens)
             bs = BlockSizes(
-                block_q=blk, block_k_major=blk, block_k=blk, block_b=1
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
             )
             # ONE transpose for all of q/k/v (leading-axis slices are free)
             qkv_t = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, nh, n, hd)
