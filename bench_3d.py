@@ -1,0 +1,131 @@
+"""Secondary benchmark: 3D generation throughput on one chip.
+
+Occupancy: the reference's MMD/COV protocol generates meshes at NFE=200
+(configs/ldm/shapenet.yaml, tools/ldm/occupancy.py:204-219 + convocc MISE
+loop).  Measures the full path: DDIM latent sampling (one jitted scan,
+batch of 8 latents) + per-mesh MISE octree refinement (host C++) with
+chunked on-chip MLP3D occupancy evaluation + marching cubes.
+
+NeRF: spherical camera-path rendering (tools/ldm/nerf.py:243-275): DDIM
+triplane latents + volume rendering of 8 views at 128^2 per scene, one
+compiled program per batch (configs/ldm/srn_cars.yaml, NFE=200).
+
+Same discipline as bench.py: persistent compile cache, host-materializing
+readback timing.  Prints one JSON line per domain (bench.py remains the
+driver headline; these are the measured records for BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from ddmi_tpu.core.config import load_config
+from ddmi_tpu.domains.nerf import NeRFPipeline
+from ddmi_tpu.domains.occupancy import OccupancyPipeline
+from ddmi_tpu.geometry.generation import MeshGenerator
+
+N_MESHES = 8
+N_SCENES = 2
+N_VIEWS = 8
+VIEW_RES = 128
+
+
+def bench_occupancy():
+    cfg = load_config("configs/ldm/shapenet.yaml")
+    pipe = OccupancyPipeline(cfg)
+    s1_params = pipe.init_stage1(jax.random.PRNGKey(0), 10).params
+    s2_params = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    nfe = cfg.model.ddpmconfig.sampling_timesteps
+
+    sample = jax.jit(
+        lambda lp, r: pipe.sample_latents(lp, r, N_MESHES)
+    )
+    z = sample(s2_params, jax.random.PRNGKey(2))
+    float(z.mean())  # warm/compile the sampler
+
+    t0 = time.perf_counter()
+    z = sample(s2_params, jax.random.PRNGKey(3))
+    float(z.mean())
+    t_sample = time.perf_counter() - t0
+
+    # mesh extraction: first mesh compiles the chunked eval; time the rest
+    def one_mesh(i):
+        eval_fn = jax.jit(pipe.decode_logits_fn(s1_params, z[i : i + 1]))
+        gen = MeshGenerator(eval_fn)
+        return gen.generate()
+
+    verts, tris = one_mesh(0)  # compile warmup
+    t0 = time.perf_counter()
+    n_timed = 0
+    total_tris = 0
+    for i in range(1, N_MESHES):
+        v, t = one_mesh(i)
+        n_timed += 1
+        total_tris += len(t)
+    t_mesh = time.perf_counter() - t0
+    per_mesh = t_sample / N_MESHES + t_mesh / max(n_timed, 1)
+    print(
+        json.dumps(
+            {
+                "metric": f"meshes/min/chip, MISE-256 extraction, NFE={nfe}",
+                "value": round(60.0 / per_mesh, 3),
+                "unit": "meshes/min/chip",
+                "ddim_sec_per_batch8": round(t_sample, 2),
+                "mesh_sec_each": round(t_mesh / max(n_timed, 1), 2),
+                "mean_triangles": int(total_tris / max(n_timed, 1)),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_nerf():
+    cfg = load_config("configs/ldm/srn_cars.yaml")
+    pipe = NeRFPipeline(cfg)
+    s1_params = pipe.init_stage1(jax.random.PRNGKey(0), 10).params
+    s2_params = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    nfe = cfg.model.ddpmconfig.sampling_timesteps
+
+    render = jax.jit(
+        lambda lp, sp, r: pipe.sample_nerfs(
+            lp, sp, r, N_SCENES, n_views=N_VIEWS, H=VIEW_RES, W=VIEW_RES
+        )
+    )
+    out = render(s2_params, s1_params, jax.random.PRNGKey(2))
+    float(jnp.asarray(out).mean())
+
+    iters = 2
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = render(s2_params, s1_params, jax.random.PRNGKey(3 + i))
+    float(jnp.asarray(out).mean())
+    dt = time.perf_counter() - t0
+    scenes_per_min = 60.0 * iters * N_SCENES / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"scenes/min/chip, {N_VIEWS}x{VIEW_RES}^2 camera-path "
+                    f"render, NFE={nfe}"
+                ),
+                "value": round(scenes_per_min, 3),
+                "unit": "scenes/min/chip",
+                "views_per_sec": round(scenes_per_min * N_VIEWS / 60.0, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    bench_occupancy()
+    bench_nerf()
