@@ -24,10 +24,12 @@ Usage:
     serve_http(service, port=8500)         # blocking HTTP frontend
 
 HTTP API:
-    GET  /healthz            -> {"ok": true, ...}
-    POST /generate {"n": 1, "seed": 0, "format": "npy"|"png"}
-         npy -> np.load-able bytes (n, res, res, 3) uint8
-         png -> single PNG (a row-major grid when n > 1)
+    GET  /healthz            -> {"ok": true, "domain": ..., ...}
+    POST /generate {"n": 1, "seed": 0, "format": "npy"|"png"|"gif"}
+         npy -> np.load-able bytes: (n, res, res, 3) uint8 for images,
+                (n, t, res, res, 3) for video
+         png -> single PNG (a row-major grid when n > 1; image domain)
+         gif -> animated GIF, videos tiled side-by-side (video domain)
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ def _bf16(tree):
 
 class SamplerService:
     """Restores stage-1/stage-2 checkpoints from `cfg.data.save_pth` and
-    serves image generation with request coalescing (image domain)."""
+    serves generation with request coalescing (image and video domains)."""
 
     def __init__(
         self,
@@ -78,19 +80,32 @@ class SamplerService:
         use_ema: bool = True,
         bf16: Optional[bool] = None,
     ):
-        if cfg.data.domain != "image":
+        self.domain = cfg.data.domain
+        if self.domain == "image":
+            from ddmi_tpu.domains.image import ImagePipeline
+
+            pipe = ImagePipeline(cfg)
+        elif self.domain == "video":
+            from ddmi_tpu.domains.video import VideoPipeline
+
+            pipe = VideoPipeline(cfg)
+        else:
             raise ValueError(
-                f"SamplerService serves the image domain; got {cfg.data.domain!r}"
+                "SamplerService serves the image and video domains; got "
+                f"{cfg.data.domain!r}"
             )
-        from ddmi_tpu.domains.image import ImagePipeline
 
         self.cfg = cfg
         self.batch = int(service_batch)
-        self.res = int(resolution or cfg.data.test_resolution)
         self._linger = max(0.0, linger_ms) / 1000.0
-        pipe = ImagePipeline(cfg)
         u = cfg.model.ddpmconfig
-        self._noise_shape = (u.image_size, u.image_size, u.channels)
+        if self.domain == "video":
+            # video renders at the VAE's native resolution (sample_videos)
+            self.res = int(pipe.res)
+            self._noise_shape = (pipe.n_latent_tokens, u.channels)
+        else:
+            self.res = int(resolution or cfg.data.test_resolution)
+            self._noise_shape = (u.image_size, u.image_size, u.channels)
 
         s1 = CheckpointManager(cfg.data.save_pth, prefix="stage1").restore(
             pipe.init_stage1(jax.random.PRNGKey(0), 1)
@@ -113,12 +128,19 @@ class SamplerService:
 
         batch = self.batch
         res = self.res
-        self._sample = jax.jit(
-            lambda r, noise: pipe.sample_images(
-                ldm_params, s1_params, r, batch=batch, resolution=res,
-                noise=noise,
+        if self.domain == "video":
+            self._sample = jax.jit(
+                lambda r, noise: pipe.sample_videos(
+                    ldm_params, s1_params, r, batch=batch, noise=noise
+                )
             )
-        )
+        else:
+            self._sample = jax.jit(
+                lambda r, noise: pipe.sample_images(
+                    ldm_params, s1_params, r, batch=batch, resolution=res,
+                    noise=noise,
+                )
+            )
 
         self._queue: collections.deque = collections.deque()
         self._cond = threading.Condition()
@@ -216,6 +238,23 @@ class SamplerService:
 # ------------------------------------------------------------------- HTTP
 
 
+def _gif_bytes(vids: np.ndarray, fps: int = 8) -> bytes:
+    """(n, t, h, w, 3) uint8 -> one animated GIF (videos tiled side-by-side)."""
+    from PIL import Image
+
+    n, t, h, w, c = vids.shape
+    frames = []
+    for ti in range(t):
+        row = np.concatenate([vids[i, ti] for i in range(n)], axis=1)
+        frames.append(Image.fromarray(row))
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return buf.getvalue()
+
+
 def _png_bytes(imgs: np.ndarray) -> bytes:
     """(n, h, w, 3) uint8 -> one PNG (row-major grid when n > 1)."""
     from PIL import Image
@@ -249,6 +288,7 @@ def _make_handler(service: SamplerService):
             if self.path == "/healthz":
                 self._json(200, {
                     "ok": True,
+                    "domain": service.domain,
                     "step": service.step,
                     "resolution": service.res,
                     "service_batch": service.batch,
@@ -267,14 +307,19 @@ def _make_handler(service: SamplerService):
                 seed = payload.get("seed")
                 fmt = payload.get("format", "npy")
                 imgs = service.generate(n=n, seed=seed, timeout=600)
-                if fmt == "png":
+                if fmt == "png" and imgs.ndim == 4:
                     body, ctype = _png_bytes(imgs), "image/png"
+                elif fmt == "gif" and imgs.ndim == 5:
+                    body, ctype = _gif_bytes(imgs), "image/gif"
                 elif fmt == "npy":
                     buf = io.BytesIO()
                     np.save(buf, imgs)
                     body, ctype = buf.getvalue(), "application/octet-stream"
                 else:
-                    self._json(400, {"error": f"unknown format {fmt!r}"})
+                    self._json(400, {
+                        "error": f"format {fmt!r} not valid for domain "
+                        f"{service.domain!r} (image: png|npy, video: gif|npy)"
+                    })
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)

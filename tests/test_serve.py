@@ -161,3 +161,103 @@ def test_http_frontend(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+@pytest.fixture(scope="module")
+def served_video_cfg(tmp_path_factory):
+    """Tiny video config + freshly-initialized checkpoints."""
+    tmp = tmp_path_factory.mktemp("serve_vid")
+    save = str(tmp / "save")
+    cfg_yaml = {
+        "model": {
+            "DiT": False, "pretrained": True, "resume": False,
+            "use_fp16": False, "amp": False, "lr": 1e-4, "embed_dim": 8,
+            "params": {
+                "lossconfig": {"epochs": 1, "warmup_epochs": 0,
+                               "save_and_sample_every": 1,
+                               "gradient_accumulate_every": 1},
+                "ddconfig": {
+                    "double_z": True, "timesformer_channels": 32,
+                    "splits": 1, "patch_size": 8, "resolution": 16,
+                    "z_channels": 16, "in_channels": 3, "out_ch": 4,
+                    "ch": 32, "ch_mult": [1, 1, 1, 1], "num_res_blocks": 1,
+                    "attn_resolutions": [], "hdbf_resolutions": [4, 8],
+                    "inter_attn_resolutions": [2, 8],
+                    "attn_type": "vanilla-multihead",
+                },
+                "mlpconfig": {"in_ch": 2, "out_ch": 3, "ch": 32,
+                              "latent_dim": 4},
+                "unetconfig": {
+                    "triplane": True,
+                    "plane_sizes": [[2, 2], [4, 2], [4, 2]],
+                    "image_size": 2, "in_channels": 8, "model_channels": 32,
+                    "out_channels": 8, "num_res_blocks": 1,
+                    "attention_resolutions": [2], "channel_mult": [1, 2],
+                    "num_head_channels": 16,
+                },
+                "ddpmconfig": {"timesteps": 20, "image_size": 2,
+                               "channels": 8, "sampling_timesteps": 4,
+                               "mixed_prediction": True, "mixed_init": -6},
+            },
+        },
+        "data": {
+            "domain": "video", "mode": "gen", "dataset": "synthetic",
+            "data_dir": "/tmp/none", "test_data_dir": "/tmp/none",
+            "save_pth": save, "batch_size": 2, "test_batch_size": 2,
+            "frames": 4, "test_resolution": 16,
+        },
+    }
+    cfg_path = tmp / "tiny_serve_video.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = load_config(str(cfg_path))
+
+    from ddmi_tpu.domains.video import VideoPipeline
+
+    pipe = VideoPipeline(cfg)
+    c1 = CheckpointManager(save, prefix="stage1")
+    c1.save(0, jax.device_get(pipe.init_stage1(jax.random.PRNGKey(0), 1)),
+            force=True)
+    c2 = CheckpointManager(save, prefix="stage2")
+    c2.save(0, jax.device_get(pipe.init_stage2(jax.random.PRNGKey(1), 1)),
+            force=True)
+    c1.wait()
+    c2.wait()
+    return cfg
+
+
+def test_video_serving_npy_and_gif(served_video_cfg):
+    from ddmi_tpu.serve import SamplerService, make_http_server
+
+    svc = SamplerService(
+        served_video_cfg, service_batch=2, resolution=16, linger_ms=10.0,
+        bf16=False,
+    )
+    try:
+        vids = svc.generate(n=1, seed=4, timeout=300)
+        assert vids.shape == (1, 4, 16, 16, 3) and vids.dtype == np.uint8
+
+        server = make_http_server(svc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                assert json.loads(r.read())["domain"] == "video"
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"n": 2, "seed": 5, "format": "gif"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                gif = r.read()
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(gif))
+            assert im.format == "GIF" and im.size == (32, 16)  # 2 tiled
+            assert getattr(im, "n_frames", 1) == 4
+        finally:
+            server.shutdown()
+            server.server_close()
+    finally:
+        svc.close()
