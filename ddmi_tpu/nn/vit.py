@@ -90,9 +90,15 @@ class FeedForwardMLP(nn.Module):
 
 
 def _attend(q, k, v):
-    sim = jnp.einsum("...id,...jd->...ij", q, k)
-    attn = jax.nn.softmax(sim, axis=-1)
-    return jnp.einsum("...ij,...jd->...id", attn, v)
+    """q pre-scaled.  Long sequences (the per-frame space attention: leading
+    dims batch x heads x frames with n=1024 at 256^2) stream through the
+    q-tiled online-softmax path — the dense (…, n, n) score tensor is 1 GB
+    fp32 PER LAYER at production scale and OOMs training; short sequences
+    (time attention over f, class-token pooling) stay dense."""
+    from ddmi_tpu.ops.mea import attention
+
+    return attention(q, k, v, kv_chunk=1024, q_chunk=256, scale=1.0,
+                     dense_max=512)
 
 
 class DividedAttention(nn.Module):
@@ -144,7 +150,14 @@ class DividedAttention(nn.Module):
 class TimeSformerEncoder(nn.Module):
     """Divided space-time transformer over patch embeddings
     (vit_modules.py:176-248).  Input: (b, f, h, w, c) video in [-1, 1];
-    output: (b, f*hp*wp, dim) patch tokens."""
+    output: (b, f*hp*wp, dim) patch tokens.
+
+    `remat` (default on) checkpoints each layer: without it, training at
+    production scale keeps every layer's (frames x 1024^2 x heads) fp32
+    attention matrix alive for backward — ~1 GB per layer at 16f 256^2 —
+    which OOMs stage-1 video training on a 16 GB chip.  Inference cost is
+    zero (checkpoint is an identity outside autodiff); training recomputes
+    each layer's forward once.  Parameter names are unchanged."""
 
     dim: int = 512
     num_frames: int = 16
@@ -153,6 +166,19 @@ class TimeSformerEncoder(nn.Module):
     depth: int = 8
     heads: int = 8
     dim_head: int = 64
+    remat: bool = True
+
+    def _layer(self, x, i, f, n, frame_rot, image_rot):
+        h_norm = nn.LayerNorm(name=f"time_norm_{i}")(x)
+        x = x + DividedAttention(
+            self.dim, self.heads, self.dim_head, name=f"time_attn_{i}"
+        )(h_norm, "time", f, n, rot_emb=frame_rot)
+        h_norm = nn.LayerNorm(name=f"space_norm_{i}")(x)
+        x = x + DividedAttention(
+            self.dim, self.heads, self.dim_head, name=f"space_attn_{i}"
+        )(h_norm, "space", f, n, rot_emb=image_rot)
+        h_norm = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+        return x + FeedForwardGEGLU(self.dim, name=f"ff_{i}")(h_norm)
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -168,17 +194,17 @@ class TimeSformerEncoder(nn.Module):
         frame_rot = rotary_frame_emb(f, self.dim_head)
         image_rot = rotary_axial_emb(hp, wp, self.dim_head)
 
+        layer = (
+            nn.remat(
+                TimeSformerEncoder._layer,
+                static_argnums=(2, 3, 4),  # i, f, n (self is argnum 0)
+                prevent_cse=False,
+            )
+            if self.remat
+            else TimeSformerEncoder._layer
+        )
         for i in range(self.depth):
-            h_norm = nn.LayerNorm(name=f"time_norm_{i}")(x)
-            x = x + DividedAttention(
-                self.dim, self.heads, self.dim_head, name=f"time_attn_{i}"
-            )(h_norm, "time", f, n, rot_emb=frame_rot)
-            h_norm = nn.LayerNorm(name=f"space_norm_{i}")(x)
-            x = x + DividedAttention(
-                self.dim, self.heads, self.dim_head, name=f"space_attn_{i}"
-            )(h_norm, "space", f, n, rot_emb=image_rot)
-            h_norm = nn.LayerNorm(name=f"ff_norm_{i}")(x)
-            x = x + FeedForwardGEGLU(self.dim, name=f"ff_{i}")(h_norm)
+            x = layer(self, x, i, f, n, frame_rot, image_rot)
         return x
 
 

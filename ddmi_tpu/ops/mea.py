@@ -15,7 +15,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_DENSE_MAX = 8192
+# Above this length the streaming path takes over.  2048 keeps the biggest
+# dense score matrix at (2048^2 x batch x heads) f32 — training through a
+# 6144-token cross-plane attention on the dense path cost 2.25 GB per
+# score matrix (fwd + bwd) and OOM'd the video-GAN stage-1 config.
+_DENSE_MAX = 2048
 
 
 def _stream_kv(q, k, v, mask_base, kv_chunk: int):
@@ -66,18 +70,22 @@ def attention(
     kv_chunk: int = 2048,
     q_chunk: int = 2048,
     scale: float | None = None,
+    dense_max: int | None = None,
 ) -> jnp.ndarray:
     """q,k,v: (..., n, d) with any leading batch/head dims; returns (..., n, d).
 
-    Exact (not approximate); streaming softmax when n > _DENSE_MAX with
-    memory bounded by (q_chunk x kv_chunk) scores per step."""
+    Exact (not approximate); streaming softmax when n > dense_max
+    (default _DENSE_MAX) with memory bounded by (q_chunk x kv_chunk) scores
+    per step.  Callers with large LEADING batch dims (e.g. per-frame space
+    attention: batch x heads x frames) pass a small dense_max so the full
+    score tensor never materializes."""
     n = q.shape[-2]
     d = q.shape[-1]
     if scale is None:
         scale = d**-0.5
     q = q * scale
 
-    if n <= _DENSE_MAX:
+    if n <= (dense_max if dense_max is not None else _DENSE_MAX):
         sim = jnp.einsum("...id,...jd->...ij", q, k)
         attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("...ij,...jd->...id", attn, v)
@@ -97,7 +105,18 @@ def attention(
         q.reshape(q.shape[:-2] + (q_blocks, q_chunk, d)), -3, 0
     )  # (q_blocks, ..., q_chunk, d)
 
-    out = jax.lax.map(lambda qi: _stream_kv(qi, k, v, mask_base, kv_chunk), qb)
+    # remat the whole query-block body as well: lax.map's backward otherwise
+    # saves each block's internal residuals for all blocks at once (observed
+    # as a (q_blocks x q_blocks x ...) 10 GB buffer when training the video
+    # decoder's 73k-token attention); with checkpoint the backward recomputes
+    # one block at a time
+    out = jax.lax.map(
+        jax.checkpoint(
+            lambda qi: _stream_kv(qi, k, v, mask_base, kv_chunk),
+            prevent_cse=False,
+        ),
+        qb,
+    )
     out = jnp.moveaxis(out, 0, -3).reshape(
         q.shape[:-2] + (n + pad_q, d)
     )[..., :n, :]
