@@ -126,7 +126,28 @@ class Trainer:
         try:
             return max(1, len(self.data))
         except TypeError:
-            return 1000
+            # Streaming datasets without __len__: warmup/cosine LR schedules
+            # need an epoch length — configurable via data.extra, loudly
+            # defaulted otherwise (a fictional 1000 would silently skew LR).
+            spe = self.cfg.data.extra.get("steps_per_epoch")
+            if spe is None:
+                warnings.warn(
+                    "dataset has no __len__ and data.extra.steps_per_epoch is "
+                    "unset; assuming 1000 steps/epoch for LR scheduling"
+                )
+                return 1000
+            return max(1, int(spe))
+
+    def _state_shardings(self, state):
+        """Per-leaf NamedShardings for the train state from cfg.mesh: full
+        replication when fsdp=model=1 (DP — reference parity), ZeRO-3/TP
+        sharding of params + EMA + optimizer moments otherwise
+        (parallel/mesh.py::shard_state; docs/SCALING.md)."""
+        if self.mesh.shape["fsdp"] * self.mesh.shape["model"] == 1:
+            return jax.tree_util.tree_map(lambda _: self.repl, state)
+        from ddmi_tpu.parallel.mesh import shard_state
+
+        return shard_state(self.mesh, state)
 
     def _log_step(self, step: int, metrics, prefix: str) -> None:
         """Deferred logging + throttled NaN guard.  Metrics stay on-device
@@ -168,11 +189,16 @@ class Trainer:
             state = ckpt.restore(state)
             print(f"resumed stage1 from step {int(state.step)}")
 
-        state = jax.device_put(state, self.repl)
-        step_fn = jax.jit(
-            lambda s, x, r: self.pipe.stage1_train_step(tx, s, x, r),
-            donate_argnums=(0,),
-        )
+        state_sh = self._state_shardings(state)
+        state = jax.device_put(state, state_sh)
+
+        def _step(s, x, r):
+            new_s, m = self.pipe.stage1_train_step(tx, s, x, r)
+            # Pin the output state to the input layout so sharding stays
+            # stable across steps (donation + GSPMD could otherwise drift).
+            return jax.lax.with_sharding_constraint(new_s, state_sh), m
+
+        step_fn = jax.jit(_step, donate_argnums=(0,))
         epochs = epochs or self.pipe.lc.epochs
         rng = jax.random.PRNGKey(cfg.seed + 1)
         save_every = self.pipe.lc.save_and_sample_every
@@ -190,8 +216,15 @@ class Trainer:
                 self._log_step(step, metrics, "s1/")
                 self._maybe_profile(step)
             self.logger.flush()
+            # Reconcile the host-side counter with the authoritative on-device
+            # step at this (already-synchronizing) flush point — a pipeline
+            # that ever skips apply_gradients cannot desync checkpoint names.
+            step = int(state.step)
             if epoch % save_every == 0 or epoch == epochs - 1:
-                ckpt.save(int(state.step), jax.device_get(state))
+                # Orbax consumes (possibly sharded) jax.Arrays directly: the
+                # foreground D2H copy happens inside save(), and multi-host
+                # writes are coordinated — no host gather needed.
+                ckpt.save(int(state.step), state)
                 if eval_hook is not None:
                     eval_hook(self, state, epoch)
         ckpt.wait()
@@ -215,12 +248,19 @@ class Trainer:
             state = ckpt.restore(state)
             print(f"resumed stage2 from step {int(state.step)}")
 
-        state = jax.device_put(state, self.repl)
-        stage1_params = jax.device_put(stage1_params, self.repl)
-        step_fn = jax.jit(
-            lambda s, p1, x, r: self.pipe.stage2_train_step(tx, s, p1, x, r),
-            donate_argnums=(0,),
+        state_sh = self._state_shardings(state)
+        state = jax.device_put(state, state_sh)
+        # Frozen stage-1 params ride the same ZeRO rule when fsdp>1 — they
+        # are read-only but still params-sized HBM.
+        stage1_params = jax.device_put(
+            stage1_params, self._state_shardings(stage1_params)
         )
+
+        def _step(s, p1, x, r):
+            new_s, m = self.pipe.stage2_train_step(tx, s, p1, x, r)
+            return jax.lax.with_sharding_constraint(new_s, state_sh), m
+
+        step_fn = jax.jit(_step, donate_argnums=(0,))
         epochs = epochs or self.pipe.lc.epochs
         rng = jax.random.PRNGKey(cfg.seed + 2)
         save_every = self.pipe.lc.save_and_sample_every
@@ -242,8 +282,9 @@ class Trainer:
                 self._log_step(step, metrics, "s2/")
                 self._maybe_profile(step)
             self.logger.flush()
+            step = int(state.step)  # reconcile with on-device counter
             if epoch % save_every == 0 or epoch == epochs - 1:
-                ckpt.save(int(state.step), jax.device_get(state))
+                ckpt.save(int(state.step), state)
                 if eval_hook is not None:
                     eval_hook(self, state, epoch)
         ckpt.wait()
@@ -622,7 +663,12 @@ def default_stage1_eval_hook(trainer: Trainer, state, epoch: int) -> None:
         elif domain == "nerf":
             pass  # per-scene rendering is driven explicitly (pipelines.render_image)
     except Exception as e:  # pragma: no cover - eval must never kill training
-        warnings.warn(f"stage1 eval hook failed: {e}")
+        import traceback
+
+        warnings.warn(
+            f"stage1 eval hook failed: {e}\n{traceback.format_exc()}"
+        )
+        trainer.logger.log(epoch, {"eval_hook_failures": 1.0}, prefix="s1/")
 
 
 def default_stage2_eval_hook(trainer: Trainer, state, epoch: int) -> None:
@@ -663,4 +709,9 @@ def default_stage2_eval_hook(trainer: Trainer, state, epoch: int) -> None:
         elif domain == "nerf":
             pass
     except Exception as e:  # pragma: no cover
-        warnings.warn(f"stage2 eval hook failed: {e}")
+        import traceback
+
+        warnings.warn(
+            f"stage2 eval hook failed: {e}\n{traceback.format_exc()}"
+        )
+        trainer.logger.log(epoch, {"eval_hook_failures": 1.0}, prefix="s2/")

