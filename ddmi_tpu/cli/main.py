@@ -2,8 +2,12 @@
 
 Same public surface as the reference CLI (main.py:54-65) with the same YAML
 schema; `data.mode` in {train, eval, gen} selects behavior (exp/stage.py:318).
-Multi-host TPU boot happens automatically when JAX detects a multi-process
-environment (`jax.distributed.initialize`)."""
+Multi-host boot is env-gated, NOT automatic: set JAX_COORDINATOR_ADDRESS /
+JAX_NUM_PROCESSES / JAX_PROCESS_ID (or run under a TPU pod runtime, which is
+auto-detected) and `main()` calls `jax.distributed.initialize` before any
+device work — the SPMD analogue of the reference's
+`accelerate launch --multi_gpu --num_processes=4` (README.md:91).  See
+ddmi_tpu/parallel/distributed.py and docs/SCALING.md."""
 
 from __future__ import annotations
 
@@ -147,6 +151,11 @@ def main(argv=None):
     p.add_argument("--configs", required=True)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+
+    # Multi-host boot (must precede backend/device use; no-op single-process).
+    from ddmi_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
 
     cfg = load_config(args.configs, exp=args.exp, seed=args.seed)
 

@@ -69,6 +69,10 @@ class Trainer:
         re-weight that step's mean loss; exact-multiple batches — every
         production config — are untouched)."""
         d = self.mesh.shape["data"]
+        if jax.process_count() > 1:
+            # Each process holds 1/process_count of the global batch; pad the
+            # LOCAL slice to the local device count on the data axis.
+            d = max(1, d // jax.process_count())
 
         def fix(x):
             x = jnp.asarray(x) if not isinstance(x, jnp.ndarray) else x
@@ -85,6 +89,17 @@ class Trainer:
             return jnp.concatenate([x] * reps, axis=0)[: b + (-b) % d]
 
         batch = jax.tree_util.tree_map(fix, batch)
+        if jax.process_count() > 1:
+            # Multi-host: each process's loader yields only its local shard
+            # (ImageFolderDataset is process-sharded); assemble the global
+            # array from per-process data — device_put cannot address other
+            # hosts' devices.
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.data_sh, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.device_put(batch, self.data_sh)
 
     def _batches(self):
