@@ -37,10 +37,21 @@ def make_mesh(
     spec = spec or MeshSpec()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    data = spec.data if spec.data > 0 else n // (spec.fsdp * spec.model)
-    assert data * spec.fsdp * spec.model == n, (
-        f"mesh {data}x{spec.fsdp}x{spec.model} != {n} devices"
-    )
+    data = spec.data if spec.data > 0 else max(1, n // (spec.fsdp * spec.model))
+    if data * spec.fsdp * spec.model != n:
+        # Loud fallback, never silent: production configs carry the mesh they
+        # NEED (e.g. celebahq stage-2 `mesh: {data: 4, fsdp: 2}`), but
+        # sampling/eval of the same YAML on a single chip is legitimate.
+        import warnings
+
+        warnings.warn(
+            f"requested mesh data={data} fsdp={spec.fsdp} model={spec.model} "
+            f"needs {data * spec.fsdp * spec.model} devices, have {n}; "
+            f"falling back to data={n}, fsdp=1, model=1 (NO parameter "
+            f"sharding — a config that documents fsdp as required for "
+            f"training memory will OOM on this fallback)"
+        )
+        data, spec = n, MeshSpec(data=n)
     arr = np.asarray(devices).reshape(data, spec.fsdp, spec.model)
     return Mesh(arr, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
 
