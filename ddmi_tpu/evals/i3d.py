@@ -38,7 +38,9 @@ class Unit3D(nn.Module):
             var = self.param("bn_var", nn.initializers.ones, (c,))
             scale = self.param("bn_scale", nn.initializers.ones, (c,))
             bias = self.param("bn_bias", nn.initializers.zeros, (c,))
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
+            # eps=1e-5 matches the reference exactly (pytorch_i3d.py:68,
+            # BatchNorm3d(eps=1e-5)); 1e-3 here cost 3e-4 relative logit error
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         if self.activation:
             x = jax.nn.relu(x)
         return x
@@ -116,9 +118,12 @@ def load_torch_i3d(state: Dict[str, Any]) -> Dict[str, Any]:
     }
     params: Dict[str, Any] = {}
 
-    def put(path: str, name: str, leaf):
+    def put(path: list, name: str, leaf):
+        # NB: branch names like "Branch_0/Conv3d_0a_1x1" are ONE flax module
+        # name (a single scope key containing a slash), not nested scopes —
+        # each element of `path` is one scope level.
         d = params
-        for part in path.split("/"):
+        for part in path:
             d = d.setdefault(part, {})
         d[name] = leaf
 
@@ -127,16 +132,16 @@ def load_torch_i3d(state: Dict[str, Any]) -> Dict[str, Any]:
         parts = key.split(".")
         # normalize module path
         if parts[0].startswith("Mixed"):
-            path = parts[0] + "/" + branch_map.get(parts[1], parts[1])
+            path = [parts[0], branch_map.get(parts[1], parts[1])]
             rest = parts[2:]
         else:
-            path = parts[0]
+            path = [parts[0]]
             rest = parts[1:]
         if rest[0] == "conv3d":
             if rest[1] == "weight":  # (out,in,kt,kh,kw) -> (kt,kh,kw,in,out)
-                put(path + "/conv3d", "kernel", np.transpose(v, (2, 3, 4, 1, 0)))
+                put(path + ["conv3d"], "kernel", np.transpose(v, (2, 3, 4, 1, 0)))
             else:
-                put(path + "/conv3d", "bias", v)
+                put(path + ["conv3d"], "bias", v)
         elif rest[0] == "bn":
             name = {
                 "weight": "bn_scale", "bias": "bn_bias",
