@@ -76,6 +76,10 @@ def build_dataset(cfg, train: bool = True):
                 "pointcloud_noise": cc.get("pointcloud_noise", 0.005),
                 "categories": cc.get("classes"),
             }
+            # GT voxels for the iou_voxels eval protocol (VoxelsField;
+            # only loaded for the test split — eval-time metric)
+            if not train and cc.get("voxels_file"):
+                ds_kw["voxels_file"] = cc["voxels_file"]
         return ShapeNetOccupancyDataset(
             root, d.batch_size, split="train" if train else "test", **ds_kw
         )

@@ -35,9 +35,35 @@ class CheckpointManager:
         """force: save off the save-interval schedule.  overwrite: replace an
         existing checkpoint at this step (orbax raises StepAlreadyExistsError
         otherwise — e.g. re-running the reference-checkpoint converter over
-        the same save_pth)."""
+        the same save_pth).
+
+        Overwrite is write-then-swap: the replacement is fully written to a
+        sibling temp directory FIRST, and only then is the old step deleted
+        and the new one moved in — a crash mid-save never loses the only
+        copy.  (Single-controller path: used by the converter CLI, not the
+        multi-host training save schedule.)"""
         if overwrite and step in self._mgr.all_steps():
+            import shutil
+
+            tmp_root = os.path.join(self.directory, f".{self.prefix}-swap")
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            tmp_mgr = ocp.CheckpointManager(
+                tmp_root,
+                options=ocp.CheckpointManagerOptions(
+                    create=True, enable_async_checkpointing=False
+                ),
+            )
+            tmp_mgr.save(step, args=ocp.args.StandardSave(state))
+            tmp_mgr.wait_until_finished()
+            tmp_mgr.close()
+            # replacement is durably on disk — now swap it in
             self._mgr.delete(step)
+            src = os.path.join(tmp_root, str(step))
+            dst = os.path.join(self.directory, self.prefix, str(step))
+            os.rename(src, dst)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            self._mgr.reload()
+            return
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:

@@ -427,6 +427,17 @@ class Trainer:
         domain = self.cfg.data.domain
         data = self.test_data if self.test_data is not None else self.data
         n_eval = int(self.cfg.data.extra.get("eval_samples", 64))
+        # Reference protocol scales (evals/eval.py:187-248 FID-10k;
+        # tools/ldm/occupancy.py:204-219 5000 meshes / 1355x1355 MMD pairs).
+        # Smaller runs are legitimate for smoke/dev but must be LOUD.
+        protocol = {"image": 10000, "video": 2048, "occupancy": 5000,
+                    "nerf": 64}.get(domain, n_eval)
+        if n_eval < protocol:
+            print(
+                f"eval: data.extra.eval_samples={n_eval} — REFERENCE "
+                f"PROTOCOL IS {protocol} for domain '{domain}'; results are "
+                f"not comparable to published numbers until raised"
+            )
         results = {}
         s1 = self.load_stage1()
 
@@ -454,7 +465,7 @@ class Trainer:
                     max_batches=max(1, n_eval // self.cfg.data.batch_size),
                 )
             elif domain == "occupancy":
-                ious = []
+                ious, voxel_ious = [], []
                 fn = jax.jit(self.pipe.occupancy_logits)
                 for i, b in enumerate(data):
                     if i * self.cfg.data.batch_size >= n_eval:
@@ -468,7 +479,25 @@ class Trainer:
                     inter = np.logical_and(pred, occ).sum()
                     union = np.logical_or(pred, occ).sum()
                     ious.append(inter / max(union, 1))
+                    if "voxels" in b:
+                        # iou_voxels protocol: model queried at GT voxel cell
+                        # centers (conv_onet/training.py:95-111); GT grids
+                        # come from binvox via voxels_file
+                        from ddmi_tpu.evals.metrics_3d import voxel_iou
+
+                        inputs = jnp.asarray(b["inputs"])
+                        for j in range(inputs.shape[0]):
+                            voxel_ious.append(voxel_iou(
+                                lambda pts, _j=j: fn(
+                                    s1.params, inputs[_j : _j + 1],
+                                    jnp.asarray(pts)[None],
+                                    jax.random.PRNGKey(0),
+                                )[0],
+                                np.asarray(b["voxels"][j]),
+                            ))
                 results["iou"] = float(np.mean(ious))
+                if voxel_ious:
+                    results["iou_voxels"] = float(np.mean(voxel_ious))
             elif domain == "nerf":
                 vals = []
                 for i, b in enumerate(data):
@@ -511,6 +540,7 @@ class Trainer:
                     self._image_scorer(),
                     lambda r: sample(s2.ema_params, s1.params, r),
                     reals, n_samples=n_eval, batch=bs,
+                    protocol_n=protocol,
                 )
             elif domain == "video":
                 from ddmi_tpu.evals.fvd import FVDScorer, test_fvd_sample
@@ -536,10 +566,16 @@ class Trainer:
                     if i >= max(1, n_eval // 4):
                         break
                     reals.append(np.asarray(b))
+                n_fvd = int(self.cfg.data.extra.get("fvd_samples", n_eval))
+                print(
+                    f"FVD: {n_fvd} generated clips vs {len(reals)} real "
+                    f"batches (reference runs the full test loader, "
+                    f"evals/eval.py:254-345)"
+                )
                 results["fvd"] = test_fvd_sample(
                     FVDScorer(params),
                     lambda r: sample(s2.ema_params, s1.params, r),
-                    reals, n_samples=min(n_eval, 16),
+                    reals, n_samples=n_fvd,
                 )
             elif domain == "occupancy":
                 from ddmi_tpu.evals.metrics_3d import mmd_cov_1nna
@@ -548,7 +584,12 @@ class Trainer:
                     sample_surface_points,
                 )
 
-                k = min(n_eval, 8)
+                k = n_eval  # no hidden cap: protocol is 5000 generated
+                print(
+                    f"occupancy eval: generating {k} meshes "
+                    f"(reference protocol: 5000 generated, 1355x1355 MMD "
+                    f"pairs — tools/ldm/occupancy.py:204-219)"
+                )
                 z = jax.jit(
                     lambda lp, r: self.pipe.sample_latents(lp, r, k)
                 )(s2.ema_params, jax.random.PRNGKey(0))
@@ -564,6 +605,8 @@ class Trainer:
                         gen_pts.append(
                             sample_surface_points(verts, tris, 2048)
                         )
+                    if (i + 1) % 10 == 0 or i + 1 == k:
+                        print(f"occupancy eval: mesh {i + 1}/{k}")
                 ref_pts = []
                 for i, b in enumerate(data):
                     if len(ref_pts) >= k:

@@ -32,6 +32,7 @@ class ShapeNetOccupancyDataset:
         num_processes: int = 1,
         process_index: int = 0,
         prefetch: int = 2,
+        voxels_file: Optional[str] = None,
     ):
         self.root = root
         if categories is None:
@@ -61,6 +62,7 @@ class ShapeNetOccupancyDataset:
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.voxels_file = voxels_file
         self._epoch = 0
 
     def __len__(self):
@@ -85,7 +87,16 @@ class ShapeNetOccupancyDataset:
         cloud += self.pointcloud_noise * rng.standard_normal(cloud.shape).astype(
             np.float32
         )
-        return {"points": points, "occ": occ, "inputs": cloud}
+        item = {"points": points, "occ": occ, "inputs": cloud}
+        if self.voxels_file is not None:
+            # GT voxel grid for the iou_voxels protocol
+            # (VoxelsField, convocc/src/data/fields.py:153-183)
+            from ddmi_tpu.data.binvox import read_voxels
+
+            item["voxels"] = read_voxels(
+                os.path.join(path, self.voxels_file)
+            ).data.astype(np.float32)
+        return item
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -212,6 +212,20 @@ def diffusion_loss(
     return p_losses(gd, model_fn, mixing_logit, x_start, t, noise)
 
 
+def _check_sampling_parameterization(gd: GaussianDiffusion) -> None:
+    """Refuse to sample non-eps/v parameterizations.  The reference's
+    `if parameterization == 'eps' or 'v'` (ddpm.py:319) is always true, so
+    its x0 sampling branch is dead code; a model trained with
+    parameterization='x0' would be silently decoded as eps and produce
+    garbage.  Raising here makes that failure loud (SURVEY §2.12)."""
+    if gd.parameterization not in ("eps", "v"):
+        raise NotImplementedError(
+            f"sampling with parameterization={gd.parameterization!r} is not "
+            f"supported (the reference's x0 sampling branch is dead code, "
+            f"diffusion/ddpm.py:319; train with eps or v)"
+        )
+
+
 def model_predictions(
     gd: GaussianDiffusion,
     model_fn: ModelFn,
@@ -232,8 +246,11 @@ def model_predictions(
     else:
         model_output = uncond_out
 
-    # All parameterizations funnel through predict_start_from_noise here,
-    # reproducing ddpm.py:319-332 (eps/'v' share the branch; x0 identical).
+    # Sampling treats the model output as eps, reproducing ddpm.py:319-332 —
+    # whose `if parameterization == 'eps' or 'v'` is ALWAYS true, so the
+    # reference's x0 branch is unreachable (SURVEY §2.12).  We do NOT
+    # replicate that silently: see _check_sampling_parameterization.
+    _check_sampling_parameterization(gd)
     pred_noise = model_output
     x_start = predict_start_from_noise(gd.schedule, x, t, pred_noise)
     if clip_x_start:
@@ -302,6 +319,7 @@ def p_sample_loop(
     noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Ancestral sampler as a lax.scan over t = T-1..0 (ddpm.py:283-300)."""
+    _check_sampling_parameterization(gd)
     sched = gd.schedule
     rng, rng_init = jax.random.split(rng)
     img = jax.random.normal(rng_init, shape) if noise is None else noise

@@ -60,7 +60,11 @@ class FIDScorer:
         )
 
     def features(self, images: Iterable[np.ndarray]) -> np.ndarray:
-        """images: iterable of NHWC [0,1] batches -> (N, 2048)."""
+        """images: iterable of NHWC [0,1] batches -> (N, 2048).
+
+        Streams: each image batch is consumed (featurized) as it arrives, so
+        a generator of 10k samples never holds the pixel data — only the
+        (N, 2048) features (80 MB at protocol scale) accumulate."""
         out = []
         for batch in images:
             out.append(np.asarray(self._extract(self.params, jnp.asarray(batch))))
@@ -91,14 +95,30 @@ def test_rfid(
     max_batches: int = 512,
 ) -> float:
     """Reconstruction FID (evals/eval.py:77-131): recon vs real over the test
-    loader, <=512 batches."""
-    reals, fakes = [], []
+    loader, <=512 batches.  Features stream batch-by-batch (no pixel
+    buffering); any truncation is printed (no-silent-caps discipline)."""
+    real_feats, fake_feats = [], []
+    n_seen = truncated = 0
     for i, batch in enumerate(test_data):
         if i >= max_batches:
+            truncated = 1
             break
-        reals.append(batch)
-        fakes.append(np.asarray(reconstruct_fn(batch)))
-    return scorer.fid(reals, fakes)
+        real_feats.append(scorer.features([np.asarray(batch)]))
+        fake_feats.append(
+            scorer.features([np.asarray(reconstruct_fn(batch))])
+        )
+        n_seen += np.asarray(batch).shape[0]
+    if truncated:
+        print(
+            f"rFID: ran {max_batches} batches ({n_seen} images) — loader "
+            f"truncated at max_batches={max_batches} (reference cap: 512, "
+            f"evals/eval.py:98)"
+        )
+    else:
+        print(f"rFID: full test loader, {n_seen} images")
+    mu_r, s_r = activation_statistics(np.concatenate(real_feats))
+    mu_f, s_f = activation_statistics(np.concatenate(fake_feats))
+    return frechet_distance(mu_r, s_r, mu_f, s_f)
 
 
 def test_fid_n(
@@ -108,14 +128,32 @@ def test_fid_n(
     n_samples: int = 10000,
     batch: int = 50,
     rng: Optional[jax.Array] = None,
+    protocol_n: int = 10000,
 ) -> float:
-    """N-sample generation FID (evals/eval.py:187-248)."""
+    """N-sample generation FID (evals/eval.py:187-248).  Generated batches
+    are featurized as they are produced — a 10k-sample protocol run never
+    materializes the pixel stream.  Progress + any deviation from the
+    reference protocol count are printed."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    fakes = []
+    fake_feats = []
     n = 0
     while n < n_samples:
         rng, sub = jax.random.split(rng)
         imgs = np.asarray(sample_fn(sub))
-        fakes.append(imgs)
+        fake_feats.append(scorer.features([imgs]))
         n += imgs.shape[0]
-    return scorer.fid(test_data, fakes)
+        if n % max(batch * 10, 500) < imgs.shape[0]:
+            print(f"FID sampling: {n}/{n_samples}")
+    if n_samples != protocol_n:
+        print(
+            f"FID: ran {n} generated samples — PROTOCOL IS {protocol_n} "
+            f"(evals/eval.py:187-248); raise data.extra.eval_samples for "
+            f"reference-comparable numbers"
+        )
+    else:
+        print(f"FID: {n} generated samples (protocol {protocol_n})")
+    real_feats = scorer.features(test_data)
+    print(f"FID: {real_feats.shape[0]} real samples")
+    mu_r, s_r = activation_statistics(real_feats)
+    mu_f, s_f = activation_statistics(np.concatenate(fake_feats))
+    return frechet_distance(mu_r, s_r, mu_f, s_f)

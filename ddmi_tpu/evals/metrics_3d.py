@@ -121,3 +121,35 @@ def eval_mesh(
         "fscore": float(fscore),
         "iou": iou,
     }
+
+
+def voxel_iou(
+    occ_logits_fn,
+    voxels_gt: np.ndarray,
+    threshold: float = 0.5,
+    chunk: int = 32768,
+) -> float:
+    """Voxel IoU against binvox ground truth — the reference's eval_step
+    protocol (convocc/src/conv_onet/training.py:95-111): evaluate the
+    occupancy model at the voxel cell centers of a [-0.5, 0.5]^3 grid,
+    threshold probabilities, IoU vs the GT grid.
+
+    occ_logits_fn: (n, 3) points -> (n,) occupancy LOGITS (thresholded at
+    logit(threshold)); voxels_gt: (dx, dy, dz) array, occupied where >= 0.5.
+    Queries run in fixed-size chunks so the jitted logits program compiles
+    once regardless of grid size."""
+    from ddmi_tpu.data.binvox import voxel_center_points
+
+    pts = voxel_center_points(voxels_gt.shape)
+    logit_thresh = float(np.log(threshold / (1.0 - threshold)))
+    pred = np.empty(pts.shape[0], dtype=bool)
+    for i in range(0, pts.shape[0], chunk):
+        block = pts[i : i + chunk]
+        n = block.shape[0]
+        if n < chunk:  # fixed-shape pad so the jit program is reused
+            block = np.concatenate([block, np.zeros((chunk - n, 3), block.dtype)])
+        out = np.asarray(occ_logits_fn(block))
+        pred[i : i + n] = out[:n] >= logit_thresh
+    gt = np.asarray(voxels_gt).reshape(-1) >= 0.5
+    union = np.logical_or(pred, gt).sum()
+    return float(np.logical_and(pred, gt).sum() / union) if union else 0.0

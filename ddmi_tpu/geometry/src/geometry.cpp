@@ -39,13 +39,8 @@ struct V3 {
 };
 
 // The 6-tetrahedron decomposition of a unit cube (corner indices 0..7 with
-// corner c = (x + 2y + 4z) bit layout).
-static const int kTets[6][4] = {
-    {0, 5, 1, 3}, {0, 5, 3, 7}, {0, 5, 7, 4},
-    {5, 0, 3, 2}, {5, 3, 7, 6}, {5, 7, 4, 6},
-};
-// NB: decomposition must tile the cube; this one uses the 0-5 diagonal.
-// Corrected canonical decomposition below (validated in tests by volume):
+// corner c = (x + 2y + 4z) bit layout).  Must tile the cube exactly — the
+// volume test in tests/test_geometry_parity.py catches a bad decomposition.
 static const int kTets6[6][4] = {
     {0, 1, 3, 7}, {0, 1, 7, 5}, {0, 5, 7, 4},
     {0, 3, 2, 7}, {0, 2, 6, 7}, {0, 6, 4, 7},

@@ -1028,10 +1028,24 @@ def _as_numpy(sd) -> SD:
 
 def load_torch_checkpoint(path: str) -> dict:
     """torch.load a reference .pt on CPU (stage-2 files embed OmegaConf args,
-    so weights_only must be off)."""
+    so weights_only must be off for those).
+
+    Only the specific weights-only rejection triggers the unsafe fallback —
+    full pickle loading executes arbitrary code from the file, so it is
+    restricted to that case and announced with a warning.  Genuine load
+    errors (corrupt file, bad path) propagate on the first attempt."""
+    import pickle
+    import warnings
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
+        warnings.warn(
+            f"{path}: weights_only load rejected (embedded non-tensor "
+            f"objects, e.g. OmegaConf args in reference stage-2 files); "
+            f"falling back to FULL pickle loading, which can execute code "
+            f"from the checkpoint — only convert checkpoints you trust"
+        )
         return torch.load(path, map_location="cpu", weights_only=False)

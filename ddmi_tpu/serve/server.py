@@ -51,7 +51,7 @@ from ddmi_tpu.core.config import Config
 
 
 class _Request:
-    __slots__ = ("n", "seed", "event", "result", "error")
+    __slots__ = ("n", "seed", "event", "result", "error", "cancelled")
 
     def __init__(self, n: int, seed: int):
         self.n = n
@@ -59,6 +59,9 @@ class _Request:
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
+        # set (under the service lock) when the caller times out; the worker
+        # drops cancelled entries instead of burning a device batch on them
+        self.cancelled = False
 
 
 def _bf16(tree):
@@ -168,7 +171,16 @@ class SamplerService:
             self._queue.append(req)
             self._cond.notify_all()
         if not req.event.wait(timeout):
-            raise TimeoutError("generation timed out")
+            with self._cond:
+                # Re-check under the lock: the worker may have completed the
+                # request between wait() expiring and us acquiring the lock.
+                if not req.event.is_set():
+                    req.cancelled = True
+                    try:
+                        self._queue.remove(req)
+                    except ValueError:
+                        pass  # already dequeued by the worker
+                    raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
         return req.result
@@ -202,8 +214,12 @@ class SamplerService:
                 take, count = [], 0
                 while self._queue and count + self._queue[0].n <= self.batch:
                     r = self._queue.popleft()
+                    if r.cancelled:
+                        continue  # caller timed out; don't waste batch slots
                     take.append(r)
                     count += r.n
+            if not take:
+                continue
             try:
                 self._run_batch(take, count)
             except Exception as e:  # report, don't kill the worker

@@ -142,6 +142,25 @@ def test_config_extra_keys_preserved():
     assert cfg.model.extra["novel_flag"] is True
 
 
+def test_checkpoint_overwrite_is_write_then_swap(tmp_path):
+    """overwrite=True must never delete the existing step before the
+    replacement is durably written (ADVICE r1): the new copy lands in a temp
+    dir first, then swaps in; the restored state is the replacement."""
+    import jax.numpy as jnp
+
+    from ddmi_tpu.core.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path), prefix="stage1")
+    m.save(5, {"w": jnp.ones((4,))}, force=True)
+    m.wait()
+    m.save(5, {"w": jnp.full((4,), 2.0)}, force=True, overwrite=True)
+    m.wait()
+    r = m.restore({"w": jnp.zeros((4,))}, step=5)
+    np.testing.assert_allclose(np.asarray(r["w"]), 2.0)
+    assert m.latest_step() == 5
+    m.close()
+
+
 def test_mesh_shapes():
     from ddmi_tpu.parallel.mesh import MeshSpec, make_mesh, shard_params_fsdp
 

@@ -120,6 +120,20 @@ def test_diffusion_loss_with_mixing():
     assert np.isfinite(float(loss))
 
 
+def test_x0_parameterization_sampling_raises():
+    """Sampling with parameterization='x0' must refuse loudly: the reference's
+    x0 branch is dead code (`'eps' or 'v'` is always true, ddpm.py:319), so
+    silently treating the output as eps would produce garbage samples."""
+    import pytest
+
+    gd = _gd(parameterization="x0")
+    model = lambda x, t: x * 0.0
+    with pytest.raises(NotImplementedError, match="parameterization"):
+        ddim_sample(gd, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="parameterization"):
+        p_sample_loop(gd, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
+
+
 def test_samplers_jit_compile():
     gd = _gd()
     model = lambda x, t: x * 0.0

@@ -80,6 +80,60 @@ def test_lpips_matches_torch_reference_computation(np_rng):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=1e-5)
 
 
+class _StubScorer:
+    """FIDScorer stand-in: 'features' = flattened pixels through a fixed
+    projection, so the streaming drivers can be tested without Inception."""
+
+    def __init__(self, d_in, d_out=6, seed=0):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((d_in, d_out)) * 0.1
+
+    def features(self, images):
+        out = [np.asarray(b).reshape(len(b), -1) @ self.W for b in images]
+        return np.concatenate(out, axis=0)
+
+
+def test_fid_n_driver_streams_and_reports(np_rng, capsys):
+    """test_fid_n featurizes each generated batch as produced and prints a
+    loud protocol-deviation line when n_samples != protocol_n."""
+    from ddmi_tpu.evals.fid import test_fid_n
+
+    scorer = _StubScorer(d_in=4 * 4 * 1)
+    reals = [np_rng.standard_normal((8, 4, 4, 1)) for _ in range(4)]
+
+    def sample_fn(rng):
+        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+        return np.random.default_rng(seed).standard_normal((8, 4, 4, 1))
+
+    fid = test_fid_n(scorer, sample_fn, reals, n_samples=32, batch=8,
+                     protocol_n=10000)
+    out = capsys.readouterr().out
+    assert "PROTOCOL IS 10000" in out
+    assert np.isfinite(fid) and fid < 5.0  # same dist, modest n -> small FID
+
+    # protocol-scale run prints the affirmative line instead
+    test_fid_n(scorer, sample_fn, reals, n_samples=16, batch=8, protocol_n=16)
+    assert "(protocol 16)" in capsys.readouterr().out
+
+
+def test_rfid_driver_truncation_is_loud(np_rng, capsys):
+    """test_rfid prints the truncation count when the loader is cut at
+    max_batches, and the full-loader line otherwise."""
+    from ddmi_tpu.evals.fid import test_rfid
+
+    scorer = _StubScorer(d_in=4 * 4 * 1)
+    batches = [np_rng.standard_normal((4, 4, 4, 1)) for _ in range(5)]
+    recon = lambda b: b + 0.01 * np_rng.standard_normal(b.shape)
+
+    fid = test_rfid(scorer, recon, iter(batches), max_batches=3)
+    assert "truncated at max_batches=3" in capsys.readouterr().out
+    assert np.isfinite(fid)
+
+    fid = test_rfid(scorer, recon, iter(batches), max_batches=512)
+    assert "full test loader, 20 images" in capsys.readouterr().out
+    assert np.isfinite(fid)
+
+
 def test_frechet_distance_identical_is_zero(np_rng):
     feats = np_rng.standard_normal((500, 8)).astype(np.float64)
     mu, sigma = activation_statistics(feats)

@@ -108,6 +108,21 @@ def test_generate_deterministic_per_seed(service):
     assert not np.array_equal(a, c)
 
 
+def test_timed_out_request_is_cancelled(service):
+    """A request whose caller timed out must not consume a device batch:
+    generate(timeout→0) marks it cancelled and removes it from the queue, so
+    a following live request is unaffected (ADVICE r1)."""
+    with pytest.raises(TimeoutError):
+        service.generate(n=1, seed=99, timeout=1e-6)
+    # queue must not retain the abandoned request
+    with service._cond:
+        assert all(not r.cancelled for r in service._queue)
+        assert len(service._queue) == 0
+    # service still serves live traffic afterwards
+    out = service.generate(n=1, seed=100, timeout=120)
+    assert out.shape == (1, 16, 16, 3)
+
+
 def test_generate_validates_n(service):
     with pytest.raises(ValueError):
         service.generate(n=0)
