@@ -325,6 +325,34 @@ class Trainer:
         ckpt = CheckpointManager(self.save_dir, prefix="stage2")
         return ckpt.restore(state)
 
+    def _sample_jit(self, fn, n: int):
+        """jit a batch-parallel sampling program; when the mesh has a data
+        axis > 1 (and the batch divides it) the OUTPUT batch axis is sharded
+        over 'data' — GSPMD propagates that sharding back through the whole
+        DDIM+decode+render program, so generation and protocol-scale eval
+        (FID-10k) run data-parallel across the mesh with zero collectives
+        (TPU-native replacement for the reference's single-GPU eval loops,
+        evals/eval.py:187-248)."""
+        d = self.mesh.shape["data"]
+        if d > 1 and n % d == 0:
+            jitted = jax.jit(fn, out_shardings=self.data_sh)
+
+            def wrapped(*args):
+                # Checkpoint-restored params live on one device; replicate
+                # them over the mesh so the sharded-output jit can address
+                # every device.
+                args = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.repl)
+                    if isinstance(x, jax.Array)
+                    and not isinstance(x, jax.core.Tracer)
+                    else x,
+                    args,
+                )
+                return jitted(*args)
+
+            return wrapped
+        return jax.jit(fn)
+
     def generate(self, n: Optional[int] = None, resolution: Optional[int] = None):
         """mode: gen — EMA DDIM sample -> decode -> render/extract -> save.
 
@@ -333,7 +361,9 @@ class Trainer:
         video  tools/ldm/video.py eval path -> per-frame PNGs (or .npy)
         occ    tools/ldm/occupancy.py:204-219 -> .off meshes
         nerf   tools/ldm/nerf.py:243-299    -> spherical-path view PNGs
-        """
+
+        Sampling runs data-parallel over the mesh when cfg.mesh.data > 1
+        (see _sample_jit)."""
         s1 = self.load_stage1()
         s2 = self.load_stage2()
         n = n or self.cfg.data.test_batch_size
@@ -343,16 +373,16 @@ class Trainer:
 
         if domain == "image":
             res = resolution or self.cfg.data.test_resolution
-            imgs = jax.jit(
-                lambda lp, sp, r: self.pipe.sample_images(lp, sp, r, n, res)
+            imgs = self._sample_jit(
+                lambda lp, sp, r: self.pipe.sample_images(lp, sp, r, n, res), n
             )(s2.ema_params, s1.params, rng)
             out = jax.device_get(imgs)
             self._save_images(out, out_dir)
             return out
 
         if domain == "video":
-            vids = jax.jit(
-                lambda lp, sp, r: self.pipe.sample_videos(lp, sp, r, n)
+            vids = self._sample_jit(
+                lambda lp, sp, r: self.pipe.sample_videos(lp, sp, r, n), n
             )(s2.ema_params, s1.params, rng)
             out = jax.device_get(vids)
             for i, vid in enumerate(out):
@@ -526,10 +556,11 @@ class Trainer:
 
                 bs = self.cfg.data.test_batch_size
                 res = min(self.cfg.data.test_resolution, 256)
-                sample = jax.jit(
+                sample = self._sample_jit(
                     lambda lp, sp, r: self.pipe.sample_images(
                         lp, sp, r, bs, res
-                    )
+                    ),
+                    bs,
                 )
                 reals = []
                 for i, b in enumerate(data):
@@ -558,8 +589,12 @@ class Trainer:
                         jax.random.PRNGKey(0),
                         jnp.zeros((1, 16, 224, 224, 3)),
                     )["params"]
-                sample = jax.jit(
-                    lambda lp, sp, r: self.pipe.sample_videos(lp, sp, r, 1)
+                n_clip = max(1, self.mesh.shape["data"])
+                sample = self._sample_jit(
+                    lambda lp, sp, r: self.pipe.sample_videos(
+                        lp, sp, r, n_clip
+                    ),
+                    n_clip,
                 )
                 reals = []
                 for i, b in enumerate(data):

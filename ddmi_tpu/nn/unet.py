@@ -21,6 +21,13 @@ import jax.numpy as jnp
 from ddmi_tpu.core.config import UNetConfig
 from ddmi_tpu.ops.fused import FastGroupNorm
 
+# Token count at/above which AttentionBlock switches from dense (materialized
+# n^2 scores, fp32 softmax) to the Pallas flash kernel.  Module-level so
+# benches can sweep it; 512 chosen from on-chip measurement (BASELINE.md).
+FLASH_MIN_TOKENS = 512
+# Pallas flash block size (q and k); capped at the sequence length.
+FLASH_BLOCK = 1024
+
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000):
     """Sinusoidal timestep embedding (util.py:150-171)."""
@@ -96,13 +103,13 @@ class AttentionBlock(nn.Module):
         h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, n, 3, nh, hd)
-        if jax.default_backend() == "tpu" and n >= 512:
+        if jax.default_backend() == "tpu" and n >= FLASH_MIN_TOKENS:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes,
                 flash_attention,
             )
 
-            blk = min(n, 1024)
+            blk = min(n, FLASH_BLOCK)
             # backward blocks MUST be given or differentiating the kernel
             # fails ("not all backward blocks are specified") — stage-2
             # training differentiates this path at 32x32 (1024 tokens)

@@ -142,6 +142,38 @@ def test_stage1_state_sharded_through_trainer(tmp_path, mesh_guard):
     assert int(state.step) == 2
 
 
+def test_sampling_is_data_parallel_over_mesh(tmp_path, mesh_guard):
+    """Generation shards its output batch over the 'data' axis when the mesh
+    has one (Trainer._sample_jit): GSPMD then partitions the whole
+    DDIM+decode+render program batch-parallel — the protocol-scale FID run
+    (10k samples) scales linearly across chips."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path), mesh=MeshConfig(data=8, fsdp=1, model=1)
+    )
+    pipe = ImagePipeline(cfg)
+    trainer = Trainer(cfg, pipe, _batches(1), save_dir=str(tmp_path))
+
+    lp = pipe.init_stage2_params(jax.random.PRNGKey(0))
+    sp = pipe.init_stage1_params(jax.random.PRNGKey(1))
+    fn = trainer._sample_jit(
+        lambda l, s, r: pipe.sample_images(l, s, r, batch=8, resolution=16), 8
+    )
+    out = fn(lp, sp, jax.random.PRNGKey(2))
+    assert out.shape == (8, 16, 16, 3)
+    assert not out.sharding.is_fully_replicated
+    assert "data" in str(out.sharding.spec)
+    assert np.isfinite(np.asarray(jax.device_get(out))).all()
+
+    # batch not divisible by the data axis -> falls back to replicated jit
+    fn2 = trainer._sample_jit(
+        lambda l, s, r: pipe.sample_images(l, s, r, batch=3, resolution=16), 3
+    )
+    out2 = fn2(lp, sp, jax.random.PRNGKey(3))
+    assert out2.shape == (3, 16, 16, 3)
+
+
 def test_dp_only_mesh_stays_replicated(tmp_path):
     import dataclasses
 
