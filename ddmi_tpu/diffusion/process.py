@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ddmi_tpu.diffusion.schedule import DiffusionSchedule, ddim_times, make_schedule
+from ddmi_tpu.ops.pallas import attention as vmem_attn
 
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
@@ -306,7 +307,11 @@ def ddim_sample(
         img_next = jnp.where(time_next < 0, x_start, img_next)
         return (img_next, rng), None
 
-    (img, _), _ = jax.lax.scan(step, (img, rng), pairs)
+    # Trace the sampler body in inference mode: AttentionBlocks select the
+    # single-pass VMEM kernel (ops/pallas/attention.py) instead of the
+    # flash kernel whose streamed backward only matters under grad.
+    with vmem_attn.inference_mode():
+        (img, _), _ = jax.lax.scan(step, (img, rng), pairs)
     return img
 
 
@@ -340,7 +345,8 @@ def p_sample_loop(
         img_next = mean + nonzero * jnp.exp(0.5 * log_var) * z
         return (img_next, rng), None
 
-    (img, _), _ = jax.lax.scan(step, (img, rng), ts)
+    with vmem_attn.inference_mode():
+        (img, _), _ = jax.lax.scan(step, (img, rng), ts)
     return img
 
 

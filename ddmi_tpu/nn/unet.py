@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ddmi_tpu.core.config import UNetConfig
 from ddmi_tpu.ops.fused import FastGroupNorm
+from ddmi_tpu.ops.pallas import attention as vmem_attn
 
 # Token count at/above which AttentionBlock switches from dense (materialized
 # n^2 scores, fp32 softmax) to the Pallas flash kernel.  Module-level so
@@ -103,7 +104,16 @@ class AttentionBlock(nn.Module):
         h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(B, n, 3, nh, hd)
-        if jax.default_backend() == "tpu" and n >= FLASH_MIN_TOKENS:
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and vmem_attn.is_inference() and vmem_attn.supported(n, hd):
+            # Sampling/eval: single-pass VMEM kernel — no flash streaming
+            # bookkeeping, no HBM score traffic (ops/pallas/attention.py).
+            qkv_t = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, nh, n, hd)
+            out = vmem_attn.mha_vmem(
+                qkv_t[0], qkv_t[1], qkv_t[2], hd**-0.5
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, H, W, C)
+        elif on_tpu and n >= FLASH_MIN_TOKENS:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes,
                 flash_attention,
