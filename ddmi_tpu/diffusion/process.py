@@ -214,16 +214,31 @@ def diffusion_loss(
 
 
 def _check_sampling_parameterization(gd: GaussianDiffusion) -> None:
-    """Refuse to sample non-eps/v parameterizations.  The reference's
-    `if parameterization == 'eps' or 'v'` (ddpm.py:319) is always true, so
-    its x0 sampling branch is dead code; a model trained with
-    parameterization='x0' would be silently decoded as eps and produce
-    garbage.  Raising here makes that failure loud (SURVEY §2.12)."""
-    if gd.parameterization not in ("eps", "v"):
+    """Every reference parameterization trains the RAW model output as an
+    eps-prediction, so the eps-style sampling path below is correct for all
+    three — a subtlety worth spelling out because the reference's
+    `if parameterization == 'eps' or 'v'` (ddpm.py:319) is always true and
+    looks like a bug (SURVEY §2.12):
+
+      * eps: target = noise, raw output compared directly (ddpm.py:418).
+      * x0:  target = x_start but the raw output is first mapped through
+        predict_start_from_noise (ddpm.py:420-421), i.e. interpreted as
+        noise; the residual reduces to
+        sqrt_recipm1_acp(t) * (raw_out - noise) — an SNR-weighted eps loss
+        (tested: tests/test_ddim.py::test_x0_loss_is_weighted_eps_loss).
+      * v:   both target and raw output are mapped through get_velocity
+        (ddpm.py:423-424), residual = sqrt_acp(t) * (raw_out - noise) —
+        again a weighted eps loss.
+
+    So the "dead" x0 sampling branch (whose commented-out
+    predict_noise_from_start would have been WRONG for such models) is
+    unreachable but also unnecessary; treating the raw output as eps at
+    sampling time matches how every parameterization was trained.  Only
+    truly unknown strings are refused."""
+    if gd.parameterization not in ("eps", "x0", "v"):
         raise NotImplementedError(
-            f"sampling with parameterization={gd.parameterization!r} is not "
-            f"supported (the reference's x0 sampling branch is dead code, "
-            f"diffusion/ddpm.py:319; train with eps or v)"
+            f"unknown parameterization={gd.parameterization!r} "
+            f"(expected eps, x0, or v; diffusion/ddpm.py:409-427)"
         )
 
 
@@ -247,10 +262,11 @@ def model_predictions(
     else:
         model_output = uncond_out
 
-    # Sampling treats the model output as eps, reproducing ddpm.py:319-332 —
-    # whose `if parameterization == 'eps' or 'v'` is ALWAYS true, so the
-    # reference's x0 branch is unreachable (SURVEY §2.12).  We do NOT
-    # replicate that silently: see _check_sampling_parameterization.
+    # Sampling treats the model output as eps (ddpm.py:319-332).  Correct for
+    # ALL reference parameterizations — their losses train the raw output as
+    # an eps-prediction; see _check_sampling_parameterization for the
+    # derivation (and why the reference's always-true
+    # `== 'eps' or 'v'` is unreachable-but-harmless, SURVEY §2.12).
     _check_sampling_parameterization(gd)
     pred_noise = model_output
     x_start = predict_start_from_noise(gd.schedule, x, t, pred_noise)

@@ -120,18 +120,50 @@ def test_diffusion_loss_with_mixing():
     assert np.isfinite(float(loss))
 
 
-def test_x0_parameterization_sampling_raises():
-    """Sampling with parameterization='x0' must refuse loudly: the reference's
-    x0 branch is dead code (`'eps' or 'v'` is always true, ddpm.py:319), so
-    silently treating the output as eps would produce garbage samples."""
+def test_x0_loss_is_weighted_eps_loss():
+    """The reference's x0 'parameterization' still trains the RAW output as
+    eps: p_losses maps the output through predict_start_from_noise before
+    comparing to x_start (ddpm.py:420-421), and with
+    x_t = sqrt_acp*x0 + sqrt(1-acp)*noise the residual is algebraically
+    sqrt_recipm1_acp(t) * (raw_out - noise).  This identity is what makes the
+    eps-style sampling path correct for x0-trained models (see
+    _check_sampling_parameterization)."""
+    gd = _gd(parameterization="x0")
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 4, 2))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    raw_out = jax.random.normal(jax.random.PRNGKey(2), x0.shape)
+    t = jnp.array([2, 9, 17])
+    _, aux = p_losses(gd, lambda x, tt: raw_out, None, x0, t, noise)
+    w = np.asarray(gd.schedule.sqrt_recipm1_alphas_cumprod)[np.asarray(t)]
+    expected = np.mean(
+        (w[:, None, None, None] * np.asarray(raw_out - noise)) ** 2,
+        axis=(1, 2, 3),
+    ).mean()
+    np.testing.assert_allclose(float(aux["loss_simple"]), expected, rtol=1e-5)
+
+
+def test_x0_sampling_matches_eps_path():
+    """x0-trained models sample through the identical eps path (their raw
+    output IS an eps prediction — see test above); unknown parameterizations
+    refuse loudly."""
     import pytest
 
-    gd = _gd(parameterization="x0")
-    model = lambda x, t: x * 0.0
+    model = lambda x, t: x * 0.1
+    out_eps = ddim_sample(
+        _gd(parameterization="eps"), model, None, (1, 4, 4, 1),
+        jax.random.PRNGKey(0),
+    )
+    out_x0 = ddim_sample(
+        _gd(parameterization="x0"), model, None, (1, 4, 4, 1),
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(np.asarray(out_eps), np.asarray(out_x0))
+
+    gd_bad = _gd(parameterization="mu")
     with pytest.raises(NotImplementedError, match="parameterization"):
-        ddim_sample(gd, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
+        ddim_sample(gd_bad, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
     with pytest.raises(NotImplementedError, match="parameterization"):
-        p_sample_loop(gd, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
+        p_sample_loop(gd_bad, model, None, (1, 4, 4, 1), jax.random.PRNGKey(0))
 
 
 def test_samplers_jit_compile():
