@@ -27,9 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 B = 8
 SHAPES = [
-    dict(name="ds2", n=1024, nh=16, hd=32),
-    dict(name="ds4", n=256, nh=32, hd=32),
-    dict(name="ds8", n=64, nh=64, hd=32),
+    dict(name="ds2", n=1024, nh=16, hd=32, C=512),
+    dict(name="ds4", n=256, nh=32, hd=32, C=1024),
+    dict(name="ds8", n=64, nh=64, hd=32, C=2048),
 ]
 
 
@@ -84,6 +84,51 @@ def flash(q, k, v, blk_q, blk_k, blk_b=1):
     return jnp.transpose(o, (0, 2, 1, 3))
 
 
+def _block_args(key, n, C, dtype=jnp.bfloat16):
+    import numpy as np
+
+    side = int(n**0.5)
+    ks = jax.random.split(key, 7)
+    x = jax.random.normal(ks[0], (B, side, side, C), dtype)
+    return (
+        x,
+        jnp.ones((C,), jnp.float32),
+        jnp.zeros((C,), jnp.float32),
+        (jax.random.normal(ks[1], (C, 3 * C)) / np.sqrt(C)).astype(dtype),
+        jnp.zeros((3 * C,), jnp.float32),
+        (jax.random.normal(ks[2], (C, C)) / np.sqrt(C)).astype(dtype),
+        jnp.zeros((C,), jnp.float32),
+    )
+
+
+def block_fused(nh, hd, *args):
+    from ddmi_tpu.ops.pallas.attn_block import fused_attention_block
+
+    return fused_attention_block(*args, nh, hd**-0.5)
+
+
+def block_unfused_vmem(nh, hd, x, gs, gb, wq, bq, wp, bp):
+    """The current production composite: XLA GN + 1x1 convs around mha_vmem
+    (what the sampler ran before the fused block kernel)."""
+    from ddmi_tpu.ops.fused import group_norm
+    from ddmi_tpu.ops.pallas.attention import mha_vmem
+
+    Bx, H, W, C = x.shape
+    n = H * W
+    h = group_norm(x, gs, gb, 32, 1e-5)
+    qkv = jax.lax.dot_general(
+        h, wq.astype(h.dtype), (((3,), (0,)), ((), ()))
+    ) + bq.astype(h.dtype)
+    qkv = qkv.reshape(Bx, n, 3, nh, hd)
+    qkv_t = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    out = mha_vmem(qkv_t[0], qkv_t[1], qkv_t[2], hd**-0.5)
+    out = jnp.swapaxes(out, 1, 2).reshape(Bx, n, C)
+    out = jax.lax.dot_general(
+        out, wp.astype(out.dtype), (((2,), (0,)), ((), ()))
+    ) + bp.astype(out.dtype)
+    return x + out.reshape(Bx, H, W, C)
+
+
 def main():
     key = jax.random.PRNGKey(0)
     results = {}
@@ -112,6 +157,19 @@ def main():
             try:
                 jf = jax.jit(fn)
                 dt = _time(jf, q, k, v)
+                row[name] = round(dt * 1e3, 4)
+            except Exception as e:  # noqa: BLE001
+                row[name] = f"ERR: {type(e).__name__}: {str(e)[:120]}"
+            print(json.dumps({s["name"]: {name: row[name]}}), flush=True)
+        # full-block composites (GN + qkv + attention + proj + residual)
+        bargs = _block_args(jax.random.PRNGKey(7), n, s["C"])
+        for name, fn in (
+            ("block_unfused_vmem", block_unfused_vmem),
+            ("block_fused", block_fused),
+        ):
+            try:
+                jf = jax.jit(functools.partial(fn, nh, hd))
+                dt = _time(jf, *bargs)
                 row[name] = round(dt * 1e3, 4)
             except Exception as e:  # noqa: BLE001
                 row[name] = f"ERR: {type(e).__name__}: {str(e)[:120]}"

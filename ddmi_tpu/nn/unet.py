@@ -12,7 +12,8 @@ The triplane variant (UNetModel_Triplane :796-1221, video latents) lives in
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+import os
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 from ddmi_tpu.core.config import UNetConfig
 from ddmi_tpu.ops.fused import FastGroupNorm
 from ddmi_tpu.ops.pallas import attention as vmem_attn
+from ddmi_tpu.ops.pallas import attn_block
 
 # Token count at/above which AttentionBlock switches from dense (materialized
 # n^2 scores, fp32 softmax) to the Pallas flash kernel.  Module-level so
@@ -83,6 +85,32 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _Conv1x1(nn.Module):
+    """1x1 conv with an nn.Conv-identical param tree ('kernel' (1,1,Cin,Cout),
+    'bias' (Cout,), same default init) that can also hand out its raw params
+    via `weights(Cin)` — the fused attention-block kernel folds them into one
+    Pallas call while this module stays the checkpoint-compatible owner."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def weights(self, in_features: int):
+        k = self.param(
+            "kernel", self.kernel_init, (1, 1, in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+    def __call__(self, x):
+        k, b = self.weights(x.shape[-1])
+        k = k[0, 0].astype(self.dtype)
+        return jax.lax.dot_general(
+            x.astype(self.dtype), k, (((x.ndim - 1,), (0,)), ((), ()))
+        ) + b.astype(self.dtype)
+
+
 class AttentionBlock(nn.Module):
     """Self-attention over flattened spatial tokens (openaimodel.py:283-427).
     Softmax in fp32 regardless of compute dtype.
@@ -90,7 +118,9 @@ class AttentionBlock(nn.Module):
     On TPU at seq >= 512 the Pallas flash-attention kernel takes over: the
     dense path materializes an f32[B, heads, n, n] matrix (0.5 GB per block
     at 32x32 resolution) — profiled as the single largest HBM consumer of the
-    denoiser forward."""
+    denoiser forward.  Sampling/eval traces (vmem_attn.inference_mode) fuse
+    the ENTIRE block — GN, qkv, attention, proj, residual — into one Pallas
+    kernel (ops/pallas/attn_block.py) when the shape allows it."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
@@ -101,10 +131,28 @@ class AttentionBlock(nn.Module):
         nh = self.num_heads
         hd = C // nh
         n = H * W
-        h = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        qkv = nn.Conv(3 * C, (1, 1), dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(B, n, 3, nh, hd)
+        norm_mod = FastGroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm")
+        qkv_mod = _Conv1x1(3 * C, dtype=self.dtype, name="qkv")
+        proj_mod = _Conv1x1(
+            C, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+            name="proj_out",
+        )
         on_tpu = jax.default_backend() == "tpu"
+        if (
+            on_tpu
+            and vmem_attn.is_inference()
+            and attn_block.supported(n, C, nh)
+            and not os.environ.get("DDMI_NO_FUSED_ATTN")  # on-chip A/B switch
+        ):
+            gs, gb = norm_mod.weights(C)
+            wq, bq = qkv_mod.weights(C)
+            wp, bp = proj_mod.weights(C)
+            return attn_block.fused_attention_block(
+                x, gs, gb, wq[0, 0], bq, wp[0, 0], bp, nh, hd**-0.5
+            )
+        h = norm_mod(x)
+        qkv = qkv_mod(h)
+        qkv = qkv.reshape(B, n, 3, nh, hd)
         if on_tpu and vmem_attn.is_inference() and vmem_attn.supported(n, hd):
             # Sampling/eval: single-pass VMEM kernel — no flash streaming
             # bookkeeping, no HBM score traffic (ops/pallas/attention.py).
@@ -143,10 +191,7 @@ class AttentionBlock(nn.Module):
             )
             attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H, W, C)
-        out = nn.Conv(
-            C, (1, 1), kernel_init=nn.initializers.zeros, dtype=self.dtype,
-            name="proj_out",
-        )(out)
+        out = proj_mod(out)
         return x + out
 
 

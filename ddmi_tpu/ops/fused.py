@@ -86,16 +86,24 @@ import flax.linen as _nn
 class FastGroupNorm(_nn.Module):
     """flax GroupNorm drop-in using the MXU-statistics path (group_norm).
     Param names/shapes match nn.GroupNorm ('scale'/'bias', (C,)) so states
-    are interchangeable; epsilon/num_groups semantics identical."""
+    are interchangeable; epsilon/num_groups semantics identical.
+
+    `weights(C)` exposes the raw (scale, bias) params without running the
+    norm — fused Pallas paths (ops/pallas/attn_block.py) fold them into a
+    kernel while keeping this module (and the checkpoint tree) the single
+    owner of the parameters."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: jnp.dtype | None = None
 
     @_nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
+    def weights(self, C: int):
         scale = self.param("scale", _nn.initializers.ones, (C,))
         bias = self.param("bias", _nn.initializers.zeros, (C,))
+        return scale, bias
+
+    def __call__(self, x):
+        scale, bias = self.weights(x.shape[-1])
         out = group_norm(x, scale, bias, self.num_groups, self.epsilon)
         return out.astype(self.dtype) if self.dtype is not None else out

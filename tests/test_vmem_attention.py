@@ -71,10 +71,12 @@ def test_inference_mode_context():
 
 def test_attention_block_selects_vmem_kernel_on_tpu(monkeypatch):
     """Under inference_mode on a TPU backend, AttentionBlock must route
-    through mha_vmem (flash otherwise).  Backend + kernel are stubbed so the
-    selection logic is testable on CPU."""
+    through mha_vmem when the fused-block kernel is disabled (the fallback
+    chain is fused -> mha_vmem -> flash -> dense).  Backend + kernel are
+    stubbed so the selection logic is testable on CPU."""
     import ddmi_tpu.nn.unet as unet_mod
 
+    monkeypatch.setenv("DDMI_NO_FUSED_ATTN", "1")
     calls = []
 
     def fake_mha(q, k, v, scale, interpret=False):
