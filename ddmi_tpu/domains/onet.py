@@ -19,6 +19,17 @@ import optax
 
 from ddmi_tpu.nn.onet import ConvONet, LocalDecoder
 from ddmi_tpu.nn.pointnet import LocalPoolPointnet, LocalVoxelEncoder
+from ddmi_tpu.nn.pointnetpp import PointNetPlusPlus
+
+# convocc/src/encoder/__init__.py encoder_dict equivalent.  As in the
+# reference, `pointnet_plus_plus` is registered but selected by no shipped
+# config (it yields per-point features, not the plane features LocalDecoder
+# consumes — the same mismatch exists upstream).
+ENCODER_REGISTRY = {
+    "pointnet_local_pool": LocalPoolPointnet,
+    "voxel_simple_local": LocalVoxelEncoder,
+    "pointnet_plus_plus": PointNetPlusPlus,
+}
 
 
 class ONetState(flax.struct.PyTreeNode):
@@ -42,10 +53,8 @@ class ONetPipeline:
     def __post_init__(self):
         ek = dict(self.encoder_kwargs or {})
         ek.setdefault("c_dim", self.c_dim)
-        if self.encoder == "voxel_simple_local":
-            enc = LocalVoxelEncoder(**ek)
-        else:
-            enc = LocalPoolPointnet(**ek)
+        enc_cls = ENCODER_REGISTRY.get(self.encoder, LocalPoolPointnet)
+        enc = enc_cls(**ek)
         dk = dict(self.decoder_kwargs or {})
         dk.setdefault("c_dim", self.c_dim)
         dec = LocalDecoder(**dk)
