@@ -32,12 +32,25 @@ def main(argv=None):
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--no-ema", action="store_true",
                     help="serve raw params instead of the EMA copy")
+    ap.add_argument("--n-views", type=int, default=8,
+                    help="nerf: camera-path views per scene")
+    ap.add_argument("--mesh-resolution0", type=int, default=None,
+                    help="occupancy: MISE base grid resolution")
+    ap.add_argument("--mesh-upsampling", type=int, default=None,
+                    help="occupancy: MISE octree refinement steps")
     args = ap.parse_args(argv)
+
+    mesh_kwargs = {}
+    if args.mesh_resolution0 is not None:
+        mesh_kwargs["resolution0"] = args.mesh_resolution0
+    if args.mesh_upsampling is not None:
+        mesh_kwargs["upsampling_steps"] = args.mesh_upsampling
 
     cfg = load_config(args.configs)
     service = SamplerService(
         cfg, service_batch=args.batch, resolution=args.resolution,
         linger_ms=args.linger_ms, use_ema=not args.no_ema,
+        n_views=args.n_views, mesh_kwargs=mesh_kwargs or None,
     )
     if not args.no_warmup:
         print("warming up (compiles the sampler once)...")

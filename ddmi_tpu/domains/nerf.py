@@ -442,8 +442,11 @@ class NeRFPipeline:
         return jnp.asarray(np.stack(poses), jnp.float32)
 
     def sample_nerfs(self, ldm_params, stage1_params, rng, batch: int,
-                     n_views: int = 8, H: int = 128, W: int = 128):
-        """DDIM sample latents -> decode planes -> render a camera path."""
+                     n_views: int = 8, H: int = 128, W: int = 128,
+                     noise=None):
+        """DDIM sample latents -> decode planes -> render a camera path.
+        `noise` optionally fixes the initial diffusion noise (b, r, r, C)
+        for deterministic serving."""
         m = self.cfg.model
         r = self.latent_res
         shape = (batch, r, r, m.ddpmconfig.channels)
@@ -452,7 +455,8 @@ class NeRFPipeline:
             {"params": ldm_params["unet"]}, xt, t
         )
         z = ddim_sample(
-            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s
+            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s,
+            noise=noise,
         )
         poses = self.spherical_poses(n_views)
 

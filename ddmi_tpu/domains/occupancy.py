@@ -273,16 +273,28 @@ class OccupancyPipeline:
             self.gd, model_fn, ldm_params["mixing_logit"], shape, rng, noise=noise
         )
 
-    def decode_logits_fn(self, stage1_params, z):
-        """Return a jittable fn(points (b,n,3)) -> logits for mesh extraction
-        (convocc generation.py eval_points equivalent)."""
-        pyramids = self.vae.apply(
+    def decode_pyramids(self, stage1_params, z):
+        """Latent z (b, r, r, 3*embed) -> HDBF triplane pyramids (jittable;
+        the VAE decode half of convocc generation.py:79-82)."""
+        return self.vae.apply(
             {"params": stage1_params["vae"]}, z, method=self.vae.decode
         )
 
+    def logits_from_pyramids(self, stage1_params, points, pyramids):
+        """Query occupancy logits at points (b, n, 3) given decoded pyramids
+        (jittable; the eval_points half of convocc generation.py:123-144).
+        Split from decode_pyramids so serving can compile each ONCE and
+        reuse across samples instead of re-tracing per mesh."""
+        return self.mlp.apply(
+            {"params": stage1_params["mlp"]}, points, pyramids
+        )
+
+    def decode_logits_fn(self, stage1_params, z):
+        """Return a jittable fn(points (b,n,3)) -> logits for mesh extraction
+        (convocc generation.py eval_points equivalent)."""
+        pyramids = self.decode_pyramids(stage1_params, z)
+
         def eval_points(points):
-            return self.mlp.apply(
-                {"params": stage1_params["mlp"]}, points, pyramids
-            )
+            return self.logits_from_pyramids(stage1_params, points, pyramids)
 
         return eval_points

@@ -25,11 +25,16 @@ Usage:
 
 HTTP API:
     GET  /healthz            -> {"ok": true, "domain": ..., ...}
-    POST /generate {"n": 1, "seed": 0, "format": "npy"|"png"|"gif"}
+    POST /generate {"n": 1, "seed": 0, "format": "npy"|"png"|"gif"|"obj"|"npz"}
          npy -> np.load-able bytes: (n, res, res, 3) uint8 for images,
-                (n, t, res, res, 3) for video
+                (n, t, res, res, 3) for video, (n, views, res, res, 3) NeRF
          png -> single PNG (a row-major grid when n > 1; image domain)
-         gif -> animated GIF, videos tiled side-by-side (video domain)
+         gif -> animated GIF: videos tiled side-by-side (video domain) or
+                the spherical camera path, scenes tiled (nerf domain)
+         obj -> Wavefront OBJ text, one `o mesh_i` object per sample
+                (occupancy domain)
+         npz -> np.load-able archive with verts_i/faces_i arrays per sample
+                (occupancy domain)
 """
 
 from __future__ import annotations
@@ -72,7 +77,9 @@ def _bf16(tree):
 
 class SamplerService:
     """Restores stage-1/stage-2 checkpoints from `cfg.data.save_pth` and
-    serves generation with request coalescing (image and video domains)."""
+    serves generation with request coalescing.  All four domains:
+    image (uint8 frames), video (uint8 clips), nerf (uint8 camera-path
+    views), occupancy (host-extracted (verts, faces) meshes)."""
 
     def __init__(
         self,
@@ -82,6 +89,8 @@ class SamplerService:
         linger_ms: float = 20.0,
         use_ema: bool = True,
         bf16: Optional[bool] = None,
+        n_views: int = 8,
+        mesh_kwargs: Optional[dict] = None,
     ):
         self.domain = cfg.data.domain
         if self.domain == "image":
@@ -92,11 +101,16 @@ class SamplerService:
             from ddmi_tpu.domains.video import VideoPipeline
 
             pipe = VideoPipeline(cfg)
+        elif self.domain == "occupancy":
+            from ddmi_tpu.domains.occupancy import OccupancyPipeline
+
+            pipe = OccupancyPipeline(cfg)
+        elif self.domain == "nerf":
+            from ddmi_tpu.domains.nerf import NeRFPipeline
+
+            pipe = NeRFPipeline(cfg)
         else:
-            raise ValueError(
-                "SamplerService serves the image and video domains; got "
-                f"{cfg.data.domain!r}"
-            )
+            raise ValueError(f"unknown domain {cfg.data.domain!r}")
 
         self.cfg = cfg
         self.batch = int(service_batch)
@@ -106,6 +120,13 @@ class SamplerService:
             # video renders at the VAE's native resolution (sample_videos)
             self.res = int(pipe.res)
             self._noise_shape = (pipe.n_latent_tokens, u.channels)
+        elif self.domain in ("occupancy", "nerf"):
+            r = pipe.latent_res
+            self._noise_shape = (r, r, u.channels)
+            if self.domain == "nerf":
+                self.res = int(resolution or 128)
+            else:
+                self.res = 0  # finalized below once mesh kwargs are merged
         else:
             self.res = int(resolution or cfg.data.test_resolution)
             self._noise_shape = (u.image_size, u.image_size, u.channels)
@@ -137,6 +158,36 @@ class SamplerService:
                     ldm_params, s1_params, r, batch=batch, noise=noise
                 )
             )
+        elif self.domain == "occupancy":
+            # device: DDIM latents only; mesh extraction stays host-side
+            # (MISE octree <-> padded point batches through ONE compiled
+            # eval program shared by every request)
+            self._sample = jax.jit(
+                lambda r, noise: pipe.sample_latents(
+                    ldm_params, r, batch, noise=noise
+                )
+            )
+            self._decode_pyr = jax.jit(
+                lambda z1: pipe.decode_pyramids(s1_params, z1)
+            )
+            self._eval_pts = jax.jit(
+                lambda pyr, pts: pipe.logits_from_pyramids(
+                    s1_params, pts, pyr
+                )
+            )
+            self._gen_kwargs = dict(getattr(pipe, "generation_kwargs", {}))
+            if mesh_kwargs:
+                self._gen_kwargs.update(mesh_kwargs)
+            self.res = int(
+                self._gen_kwargs.get("resolution0", 64)
+                * 2 ** self._gen_kwargs.get("upsampling_steps", 2)
+            )
+        elif self.domain == "nerf":
+            # sample_nerfs jits its per-scene render internally
+            self._sample = lambda r, noise: pipe.sample_nerfs(
+                ldm_params, s1_params, r, batch, n_views=n_views,
+                H=res, W=res, noise=noise,
+            )
         else:
             self._sample = jax.jit(
                 lambda r, noise: pipe.sample_images(
@@ -159,9 +210,11 @@ class SamplerService:
         np.asarray(self._sample(jax.random.PRNGKey(0), noise))
 
     def generate(self, n: int = 1, seed: Optional[int] = None,
-                 timeout: Optional[float] = None) -> np.ndarray:
-        """Blocking: returns (n, res, res, 3) uint8.  Thread-safe; concurrent
-        callers are coalesced into device batches."""
+                 timeout: Optional[float] = None):
+        """Blocking.  Returns per domain: image (n, res, res, 3) uint8;
+        video (n, t, res, res, 3) uint8; nerf (n, views, res, res, 3) uint8;
+        occupancy a list of n (verts, faces) tuples.  Thread-safe;
+        concurrent callers are coalesced into device batches."""
         if not (1 <= n <= self.batch):
             raise ValueError(f"n must be in [1, {self.batch}], got {n}")
         req = _Request(n, int(seed) if seed is not None else time.time_ns() % (1 << 31))
@@ -242,13 +295,33 @@ class SamplerService:
             )
         noise = jnp.asarray(np.concatenate(rows, axis=0))
         rng = jax.random.PRNGKey(take[0].seed)
-        out = np.asarray(self._sample(rng, noise))  # (batch, res, res, 3) [0,1]
+        out = np.asarray(self._sample(rng, noise))
+        if self.domain == "occupancy":
+            # out = latents (batch, r, r, C); extract meshes on the host
+            # for the `count` real samples only (padding slots skipped)
+            meshes = [self._extract_mesh(out[i : i + 1]) for i in range(count)]
+            ofs = 0
+            for r in take:
+                r.result = meshes[ofs : ofs + r.n]
+                ofs += r.n
+                r.event.set()
+            return
         out = (np.clip(out, 0.0, 1.0) * 255.0).astype(np.uint8)
         ofs = 0
         for r in take:
             r.result = out[ofs : ofs + r.n]
             ofs += r.n
             r.event.set()
+
+    def _extract_mesh(self, z1: np.ndarray):
+        """One latent (1, r, r, C) -> (verts (v,3), faces (f,3)) via the
+        shared MISE + iso-surface path (convocc generation.py equivalent)."""
+        from ddmi_tpu.geometry.generation import MeshGenerator
+
+        pyr = self._decode_pyr(jnp.asarray(z1))
+        return MeshGenerator(
+            lambda pts: self._eval_pts(pyr, pts), **self._gen_kwargs
+        ).generate()
 
 
 # ------------------------------------------------------------------- HTTP
@@ -268,6 +341,32 @@ def _gif_bytes(vids: np.ndarray, fps: int = 8) -> bytes:
         buf, format="GIF", save_all=True, append_images=frames[1:],
         duration=int(1000 / fps), loop=0,
     )
+    return buf.getvalue()
+
+
+def _obj_bytes(meshes) -> bytes:
+    """[(verts, faces), ...] -> one Wavefront OBJ with `o mesh_i` objects
+    (vertex indices are global and 1-based per the OBJ spec)."""
+    lines = []
+    base = 1
+    for i, (verts, faces) in enumerate(meshes):
+        lines.append(f"o mesh_{i}")
+        for v in np.asarray(verts, np.float32):
+            lines.append(f"v {v[0]:g} {v[1]:g} {v[2]:g}")
+        for f in np.asarray(faces, np.int64):
+            lines.append(f"f {f[0] + base} {f[1] + base} {f[2] + base}")
+        base += len(verts)
+    return ("\n".join(lines) + "\n").encode("ascii")
+
+
+def _npz_bytes(meshes) -> bytes:
+    """[(verts, faces), ...] -> np.savez archive verts_i / faces_i."""
+    arrays = {}
+    for i, (verts, faces) in enumerate(meshes):
+        arrays[f"verts_{i}"] = np.asarray(verts, np.float32)
+        arrays[f"faces_{i}"] = np.asarray(faces, np.int64)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
     return buf.getvalue()
 
 
@@ -322,19 +421,32 @@ def _make_handler(service: SamplerService):
                 n = int(payload.get("n", 1))
                 seed = payload.get("seed")
                 fmt = payload.get("format", "npy")
-                imgs = service.generate(n=n, seed=seed, timeout=600)
-                if fmt == "png" and imgs.ndim == 4:
-                    body, ctype = _png_bytes(imgs), "image/png"
-                elif fmt == "gif" and imgs.ndim == 5:
-                    body, ctype = _gif_bytes(imgs), "image/gif"
+                out = service.generate(n=n, seed=seed, timeout=600)
+                if service.domain == "occupancy":
+                    if fmt == "obj":
+                        body, ctype = _obj_bytes(out), "text/plain"
+                    elif fmt == "npz":
+                        body, ctype = _npz_bytes(out), \
+                            "application/octet-stream"
+                    else:
+                        self._json(400, {
+                            "error": f"format {fmt!r} not valid for domain "
+                            "'occupancy' (obj|npz)"
+                        })
+                        return
+                elif fmt == "png" and out.ndim == 4:
+                    body, ctype = _png_bytes(out), "image/png"
+                elif fmt == "gif" and out.ndim == 5:
+                    body, ctype = _gif_bytes(out), "image/gif"
                 elif fmt == "npy":
                     buf = io.BytesIO()
-                    np.save(buf, imgs)
+                    np.save(buf, out)
                     body, ctype = buf.getvalue(), "application/octet-stream"
                 else:
                     self._json(400, {
                         "error": f"format {fmt!r} not valid for domain "
-                        f"{service.domain!r} (image: png|npy, video: gif|npy)"
+                        f"{service.domain!r} (image: png|npy, video: "
+                        "gif|npy, nerf: gif|npy)"
                     })
                     return
                 self.send_response(200)

@@ -276,3 +276,208 @@ def test_video_serving_npy_and_gif(served_video_cfg):
             server.server_close()
     finally:
         svc.close()
+
+
+@pytest.fixture(scope="module")
+def served_occ_cfg(tmp_path_factory):
+    """Tiny occupancy config + freshly-initialized checkpoints."""
+    from ddmi_tpu.core.config import (
+        Config, DDConfig, DDPMConfig, DataConfig, LossConfig, MLPConfig,
+        ModelConfig, UNetConfig,
+    )
+    from ddmi_tpu.domains.occupancy import OccupancyPipeline
+
+    tmp = tmp_path_factory.mktemp("serve_occ")
+    save = str(tmp / "save")
+    dd = DDConfig(
+        double_z=True, z_channels=32, resolution=32, in_channels=8, out_ch=8,
+        ch=32, ch_mult=(1, 2, 4), num_res_blocks=1, attn_resolutions=(),
+        hdbf_resolutions=(8, 16), inter_attn_resolutions=(32, 16),
+        attn_type="vanilla",
+    )
+    unet = UNetConfig(
+        image_size=8, in_channels=24, model_channels=32, out_channels=24,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16,
+    )
+    ddpm = DDPMConfig(timesteps=20, image_size=8, channels=24,
+                      sampling_timesteps=4, mixed_init=-6.0)
+    model = ModelConfig(
+        embed_dim=8, use_fp16=False,
+        lossconfig=LossConfig(epochs=1, warmup_epochs=0,
+                              gradient_accumulate_every=1),
+        ddconfig=dd,
+        mlpconfig=MLPConfig(in_ch=3, out_ch=1, ch=64, latent_dim=8),
+        unetconfig=unet, ddpmconfig=ddpm,
+        extra={"pointnet": {"c_dim": 8, "hidden_dim": 32,
+                            "plane_resolution": 32, "n_blocks": 3}},
+    )
+    cfg = Config(model=model,
+                 data=DataConfig(domain="occupancy", batch_size=2,
+                                 save_pth=save))
+    pipe = OccupancyPipeline(cfg)
+    c1 = CheckpointManager(save, prefix="stage1")
+    c1.save(0, jax.device_get(pipe.init_stage1(jax.random.PRNGKey(0), 1)),
+            force=True)
+    c2 = CheckpointManager(save, prefix="stage2")
+    c2.save(0, jax.device_get(pipe.init_stage2(jax.random.PRNGKey(1), 1)),
+            force=True)
+    c1.wait()
+    c2.wait()
+    return cfg
+
+
+def test_occupancy_serving_obj_and_npz(served_occ_cfg):
+    from ddmi_tpu.serve import SamplerService, make_http_server
+
+    svc = SamplerService(
+        served_occ_cfg, service_batch=2, linger_ms=10.0, bf16=False,
+        mesh_kwargs={"resolution0": 16, "upsampling_steps": 0,
+                     "points_batch_size": 4096},
+    )
+    try:
+        assert svc.res == 16
+        meshes = svc.generate(n=2, seed=11, timeout=600)
+        assert len(meshes) == 2
+        for verts, faces in meshes:
+            assert verts.ndim == 2 and verts.shape[1] == 3
+            assert faces.ndim == 2 and faces.shape[1] == 3
+        # deterministic per seed
+        again = svc.generate(n=2, seed=11, timeout=600)
+        np.testing.assert_allclose(meshes[0][0], again[0][0], atol=1e-5)
+
+        server = make_http_server(svc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                assert json.loads(r.read())["domain"] == "occupancy"
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"n": 1, "seed": 3,
+                                 "format": "obj"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                obj = r.read().decode()
+            assert obj.startswith("o mesh_0")
+            assert "\nv " in obj and "\nf " in obj
+
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"n": 2, "seed": 3,
+                                 "format": "npz"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                arc = np.load(io.BytesIO(r.read()))
+            assert set(arc.files) == {"verts_0", "faces_0", "verts_1",
+                                      "faces_1"}
+
+            # png is invalid for occupancy -> 400
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"n": 1, "format": "png"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 400
+        finally:
+            server.shutdown()
+            server.server_close()
+    finally:
+        svc.close()
+
+
+@pytest.fixture(scope="module")
+def served_nerf_cfg(tmp_path_factory):
+    """Tiny NeRF config + freshly-initialized checkpoints."""
+    from ddmi_tpu.core.config import (
+        Config, DDConfig, DDPMConfig, DataConfig, LossConfig, MLPConfig,
+        ModelConfig, UNetConfig,
+    )
+    from ddmi_tpu.domains.nerf import NeRFPipeline
+
+    tmp = tmp_path_factory.mktemp("serve_nerf")
+    save = str(tmp / "save")
+    dd = DDConfig(
+        double_z=True, z_channels=32, resolution=16, in_channels=8, out_ch=8,
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+        hdbf_resolutions=(), inter_attn_resolutions=(16,),
+        attn_type="vanilla",
+    )
+    unet = UNetConfig(
+        image_size=8, in_channels=24, model_channels=32, out_channels=24,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16,
+    )
+    ddpm = DDPMConfig(timesteps=20, image_size=8, channels=24,
+                      sampling_timesteps=4, mixed_init=-6.0)
+    mlp = MLPConfig(
+        in_ch=3, out_ch=4, ch=32, latent_dim=8,
+        extra={"D": 2, "W": 32, "skips": (1,), "multires": 4,
+               "multires_views": 2, "N_samples": 8, "N_rand": 64,
+               "white_bkgd": True},
+    )
+    model = ModelConfig(
+        embed_dim=8, use_fp16=False,
+        lossconfig=LossConfig(epochs=1, warmup_epochs=0,
+                              gradient_accumulate_every=1),
+        ddconfig=dd, mlpconfig=mlp, unetconfig=unet, ddpmconfig=ddpm,
+        extra={"pointnet": {"c_dim": 8, "hidden_dim": 32,
+                            "plane_resolution": 16, "n_blocks": 2}},
+    )
+    cfg = Config(model=model,
+                 data=DataConfig(domain="nerf", batch_size=1, save_pth=save))
+    pipe = NeRFPipeline(cfg)
+    c1 = CheckpointManager(save, prefix="stage1")
+    c1.save(0, jax.device_get(pipe.init_stage1(jax.random.PRNGKey(0), 1)),
+            force=True)
+    c2 = CheckpointManager(save, prefix="stage2")
+    c2.save(0, jax.device_get(pipe.init_stage2(jax.random.PRNGKey(1), 1)),
+            force=True)
+    c1.wait()
+    c2.wait()
+    return cfg
+
+
+def test_nerf_serving_npy_and_gif(served_nerf_cfg):
+    from ddmi_tpu.serve import SamplerService, make_http_server
+
+    svc = SamplerService(
+        served_nerf_cfg, service_batch=1, resolution=16, linger_ms=10.0,
+        bf16=False, n_views=3,
+    )
+    try:
+        views = svc.generate(n=1, seed=2, timeout=600)
+        assert views.shape == (1, 3, 16, 16, 3) and views.dtype == np.uint8
+
+        server = make_http_server(svc, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        th = threading.Thread(target=server.serve_forever, daemon=True)
+        th.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                assert json.loads(r.read())["domain"] == "nerf"
+            req = urllib.request.Request(
+                base + "/generate",
+                data=json.dumps({"n": 1, "seed": 5,
+                                 "format": "gif"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                gif = r.read()
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(gif))
+            assert im.format == "GIF" and im.size == (16, 16)
+            assert getattr(im, "n_frames", 1) == 3
+        finally:
+            server.shutdown()
+            server.server_close()
+    finally:
+        svc.close()
