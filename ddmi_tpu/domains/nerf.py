@@ -441,39 +441,47 @@ class NeRFPipeline:
             poses.append(c2w)
         return jnp.asarray(np.stack(poses), jnp.float32)
 
+    def sample_latents(self, ldm_params, rng, batch: int, noise=None):
+        """DDIM sample z (b, r, r, 3*embed) (tools/ldm/nerf.py:239-241)."""
+        m = self.cfg.model
+        r = self.latent_res
+        shape = (batch, r, r, m.ddpmconfig.channels)
+        model_fn = lambda xt, t: self.unet.apply(
+            {"params": ldm_params["unet"]}, xt, t
+        )
+        return ddim_sample(
+            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng,
+            noise=noise,
+        )
+
+    def render_camera_path(self, stage1_params, z1, rng, poses,
+                           H: int, W: int):
+        """ONE jittable program per scene: decode planes + lax.map over the
+        camera path (the reference loops host-side per view,
+        tools/ldm/nerf.py:243-275).  z1 (1, r, r, C) -> (views, H, W, 3).
+
+        Stable method (not a per-call closure) so callers can
+        `jax.jit(pipe.render_camera_path, static_argnums=(4, 5))` ONCE and
+        hit the trace cache across requests — the serving layer does."""
+        planes = self.decode_planes(stage1_params, z1)
+
+        def one(pose):
+            return self.render_image(stage1_params, planes, pose, H, W, rng)
+
+        return jax.lax.map(one, poses)
+
     def sample_nerfs(self, ldm_params, stage1_params, rng, batch: int,
                      n_views: int = 8, H: int = 128, W: int = 128,
                      noise=None):
         """DDIM sample latents -> decode planes -> render a camera path.
         `noise` optionally fixes the initial diffusion noise (b, r, r, C)
         for deterministic serving."""
-        m = self.cfg.model
-        r = self.latent_res
-        shape = (batch, r, r, m.ddpmconfig.channels)
         rng_s, rng_r = jax.random.split(rng)
-        model_fn = lambda xt, t: self.unet.apply(
-            {"params": ldm_params["unet"]}, xt, t
-        )
-        z = ddim_sample(
-            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s,
-            noise=noise,
-        )
+        z = self.sample_latents(ldm_params, rng_s, batch, noise=noise)
         poses = self.spherical_poses(n_views)
-
-        # ONE compiled program per scene: decode planes + lax.map over the
-        # camera path (the reference loops host-side per view,
-        # tools/ldm/nerf.py:243-275)
-        @jax.jit
-        def render_scene(sp, z_b, r):
-            planes = self.decode_planes(sp, z_b)
-
-            def one(pose):
-                return self.render_image(sp, planes, pose, H, W, r)
-
-            return jax.lax.map(one, poses)
-
+        render = jax.jit(self.render_camera_path, static_argnums=(4, 5))
         out = [
-            render_scene(stage1_params, z[b : b + 1], rng_r)
+            render(stage1_params, z[b : b + 1], rng_r, poses, H, W)
             for b in range(batch)
         ]
         return jnp.stack(out)  # (batch, views, H, W, 3)

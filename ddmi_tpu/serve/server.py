@@ -183,11 +183,26 @@ class SamplerService:
                 * 2 ** self._gen_kwargs.get("upsampling_steps", 2)
             )
         elif self.domain == "nerf":
-            # sample_nerfs jits its per-scene render internally
-            self._sample = lambda r, noise: pipe.sample_nerfs(
-                ldm_params, s1_params, r, batch, n_views=n_views,
-                H=res, W=res, noise=noise,
+            # jit BOTH programs once here (a fresh jit per request would
+            # re-trace the renderer every call): DDIM latents for the whole
+            # coalesced batch, then the per-scene camera-path render
+            sample_lat = jax.jit(
+                lambda r, noise: pipe.sample_latents(
+                    ldm_params, r, batch, noise=noise
+                )
             )
+            render = jax.jit(pipe.render_camera_path, static_argnums=(4, 5))
+            poses = pipe.spherical_poses(n_views)
+
+            def _sample_nerf(r, noise):
+                rs, rr = jax.random.split(r)
+                z = sample_lat(rs, noise)
+                return jnp.stack([
+                    render(s1_params, z[b : b + 1], rr, poses, res, res)
+                    for b in range(batch)
+                ])
+
+            self._sample = _sample_nerf
         else:
             self._sample = jax.jit(
                 lambda r, noise: pipe.sample_images(
