@@ -35,14 +35,20 @@ _initialized = False
 
 def _pod_env_present() -> bool:
     """TPU pod / multi-slice runtimes export worker topology env vars that
-    jax.distributed.initialize() can auto-discover."""
+    jax.distributed.initialize() can auto-discover.
+
+    A single-entry TPU_WORKER_HOSTNAMES (e.g. "localhost", which
+    single-chip tunnel runtimes export) is NOT a pod — initializing the
+    coordination service there only produces a failed-connect warning, so
+    that key counts only when it lists more than one worker."""
     keys = (
-        "TPU_WORKER_HOSTNAMES",
         "TPU_WORKER_ID",
         "MEGASCALE_COORDINATOR_ADDRESS",
         "CLOUD_TPU_TASK_ID",
     )
-    return any(k in os.environ for k in keys)
+    if any(k in os.environ for k in keys):
+        return True
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
 
 def maybe_initialize() -> bool:

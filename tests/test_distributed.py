@@ -98,3 +98,22 @@ def test_two_process_dp_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "global mean = 0.5" in out, out
+
+
+def test_pod_env_detection(monkeypatch):
+    """Single-worker TPU_WORKER_HOSTNAMES (single-chip tunnel runtimes
+    export e.g. "localhost") must NOT be treated as a pod; multi-worker
+    lists and the explicit pod keys must."""
+    from ddmi_tpu.parallel import distributed as d
+
+    for k in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+              "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID"):
+        monkeypatch.delenv(k, raising=False)
+    assert not d._pod_env_present()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not d._pod_env_present()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert d._pod_env_present()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("TPU_WORKER_ID", "0")
+    assert d._pod_env_present()
