@@ -80,6 +80,12 @@ def main():
     cfg = load_config("configs/ldm/celebahq.yaml")
     # NFE=100 per the bench protocol (config ships 50)
     object.__setattr__(cfg.model.ddpmconfig, "sampling_timesteps", NFE)
+    # Opt-in A/B: DDMI_ENCODER_REUSE=k measures the turbo sampler
+    # (arXiv:2312.09608 encoder propagation).  It changes samples, so a
+    # turbo run is labeled in the metric name and never the default.
+    reuse = int(os.environ.get("DDMI_ENCODER_REUSE", "1"))
+    if reuse > 1:
+        cfg.model.ddpmconfig.extra["encoder_reuse"] = reuse
     pipe = ImagePipeline(cfg)
 
     # Params-only init (no EMA / optimizer state), then cast to bf16 and drop
@@ -116,7 +122,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"samples/sec/chip, {RESOLUTION}^2 image gen, NFE={NFE}",
+                "metric": f"samples/sec/chip, {RESOLUTION}^2 image gen, NFE={NFE}"
+                + (f", encoder_reuse={reuse} (turbo, non-protocol)" if reuse > 1 else ""),
                 "value": round(samples_per_sec_per_chip, 4),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(

@@ -275,6 +275,30 @@ def model_predictions(
     return pred_noise, x_start
 
 
+def _ddim_update(sched, eta, img, pred_noise, x_start, time, time_next, rng):
+    """One DDIM x_t -> x_{t-1} update given the model's predictions
+    (ddpm.py:350-368) — shared by ddim_sample and the encoder-reuse scan."""
+    alpha = sched.alphas_cumprod[time]
+    # clamp the (unused when time_next<0) index so gather stays in-bounds
+    alpha_next = sched.alphas_cumprod[jnp.maximum(time_next, 0)]
+    sigma = eta * jnp.sqrt(
+        (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+    )
+    c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
+
+    img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise
+    if eta != 0.0:
+        # sigma is a traced value, so the PRNG below would survive DCE
+        # even when eta == 0 — gate it statically (the default DDIM
+        # protocol is deterministic, ddim_sampling_eta: 0)
+        rng, rng_noise = jax.random.split(rng)
+        step_noise = jax.random.normal(rng_noise, img.shape, img.dtype)
+        img_next = img_next + sigma * step_noise
+    # final step (time_next < 0): return x_start (ddpm.py:353-355)
+    img_next = jnp.where(time_next < 0, x_start, img_next)
+    return img_next, rng
+
+
 def ddim_sample(
     gd: GaussianDiffusion,
     model_fn: ModelFn,
@@ -302,25 +326,9 @@ def ddim_sample(
             gd, model_fn, mixing_logit, img, t_vec,
             cond_model_fn=cond_model_fn, clip_x_start=gd.clip_denoised,
         )
-
-        alpha = sched.alphas_cumprod[time]
-        # clamp the (unused when time_next<0) index so gather stays in-bounds
-        alpha_next = sched.alphas_cumprod[jnp.maximum(time_next, 0)]
-        sigma = eta * jnp.sqrt(
-            (1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)
+        img_next, rng = _ddim_update(
+            sched, eta, img, pred_noise, x_start, time, time_next, rng
         )
-        c = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma**2, 0.0))
-
-        img_next = x_start * jnp.sqrt(alpha_next) + c * pred_noise
-        if eta != 0.0:
-            # sigma is a traced value, so the PRNG below would survive DCE
-            # even when eta == 0 — gate it statically (the default DDIM
-            # protocol is deterministic, ddim_sampling_eta: 0)
-            rng, rng_noise = jax.random.split(rng)
-            step_noise = jax.random.normal(rng_noise, img.shape, img.dtype)
-            img_next = img_next + sigma * step_noise
-        # final step (time_next < 0): return x_start (ddpm.py:353-355)
-        img_next = jnp.where(time_next < 0, x_start, img_next)
         return (img_next, rng), None
 
     # Trace the sampler body in inference mode: AttentionBlocks select the
@@ -328,6 +336,81 @@ def ddim_sample(
     # flash kernel whose streamed backward only matters under grad.
     with vmem_attn.inference_mode():
         (img, _), _ = jax.lax.scan(step, (img, rng), pairs)
+    return img
+
+
+def ddim_sample_encoder_reuse(
+    gd: GaussianDiffusion,
+    full_fn,
+    reuse_fn,
+    mixing_logit: Optional[jnp.ndarray],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    reuse: int,
+    noise: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """DDIM with encoder propagation (arXiv:2312.09608 "Faster Diffusion"):
+    every `reuse`-th step runs the full denoiser and caches its down-path
+    features; the following reuse-1 steps skip the encoder and re-run only
+    the middle/up path on the cached features under the current timestep
+    embedding.  The DDIM update itself still consumes the current x_t each
+    step, so the trajectory tracks the sample — the cache is an
+    approximation of slowly-varying encoder features, NOT a frozen output.
+
+    `full_fn(x, t) -> (model_out, cache)`; `reuse_fn(x, t, cache) ->
+    model_out`.  reuse=1 degenerates to exactly `ddim_sample` (tested).
+    An NFE not divisible by `reuse` runs the remainder as full steps.
+
+    This is a documented opt-in approximation (it changes samples); the
+    reference protocol / headline bench default to reuse=1."""
+    if reuse < 1:
+        raise ValueError(f"reuse must be >= 1, got {reuse}")
+    sched = gd.schedule
+    eta = gd.ddim_sampling_eta
+    all_pairs = jnp.asarray(ddim_times(gd.num_timesteps, gd.sampling_timesteps))
+    n = all_pairs.shape[0]
+    n_groups = n // reuse
+    grouped = all_pairs[: n_groups * reuse].reshape(n_groups, reuse, 2)
+    tail = all_pairs[n_groups * reuse:]
+
+    rng, rng_init = jax.random.split(rng)
+    img = jax.random.normal(rng_init, shape) if noise is None else noise
+    batch = shape[0]
+
+    def one(img, rng, time, time_next, fn):
+        t_vec = jnp.full((batch,), time, dtype=jnp.int32)
+        pred_noise, x_start = model_predictions(
+            gd, fn, mixing_logit, img, t_vec, clip_x_start=gd.clip_denoised
+        )
+        return _ddim_update(
+            sched, eta, img, pred_noise, x_start, time, time_next, rng
+        )
+
+    def group_step(carry, pairs):
+        img, rng = carry
+        cache_box = []
+
+        def key_fn(x, tv):
+            out, cache = full_fn(x, tv)
+            cache_box.append(cache)
+            return out
+
+        img, rng = one(img, rng, pairs[0, 0], pairs[0, 1], key_fn)
+        cache = cache_box[0]
+        for j in range(1, reuse):  # static unroll within the scan body
+            img, rng = one(
+                img, rng, pairs[j, 0], pairs[j, 1],
+                lambda x, tv: reuse_fn(x, tv, cache),
+            )
+        return (img, rng), None
+
+    with vmem_attn.inference_mode():
+        (img, rng), _ = jax.lax.scan(group_step, (img, rng), grouped)
+        for j in range(tail.shape[0]):  # NFE % reuse leftovers: full steps
+            img, rng = one(
+                img, rng, tail[j, 0], tail[j, 1],
+                lambda x, tv: full_fn(x, tv)[0],
+            )
     return img
 
 

@@ -527,10 +527,31 @@ class ImagePipeline:
         shape = (batch, u.image_size, u.image_size, u.channels)
         rng_s, rng_noise = jax.random.split(rng)
 
-        model_fn = lambda xt, t: self.unet.apply({"params": ldm_params["unet"]}, xt, t)
-        z = ddim_sample(
-            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s, noise=noise
-        )
+        reuse = int(u.extra.get("encoder_reuse", 1))
+        if reuse > 1:
+            # Opt-in turbo sampling (arXiv:2312.09608): skip the UNet down
+            # path on reuse-1 of every `reuse` steps.  Changes samples —
+            # never the default; see diffusion/process.py.
+            from ddmi_tpu.diffusion.process import ddim_sample_encoder_reuse
+
+            full_fn = lambda xt, t: self.unet.apply(
+                {"params": ldm_params["unet"]}, xt, t, return_cache=True
+            )
+            reuse_fn = lambda xt, t, cache: self.unet.apply(
+                {"params": ldm_params["unet"]}, xt, t, cache=cache
+            )
+            z = ddim_sample_encoder_reuse(
+                self.gd, full_fn, reuse_fn, ldm_params["mixing_logit"],
+                shape, rng_s, reuse, noise=noise,
+            )
+        else:
+            model_fn = lambda xt, t: self.unet.apply(
+                {"params": ldm_params["unet"]}, xt, t
+            )
+            z = ddim_sample(
+                self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s,
+                noise=noise,
+            )
         # Run the decode+render leg in the stage-1 params' dtype (bf16 when the
         # caller casts params for sampling — flax promotion rules then keep the
         # whole conv/MXU path in bf16).

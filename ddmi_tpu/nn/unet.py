@@ -222,13 +222,22 @@ def _num_heads(ch: int, cfg: UNetConfig) -> int:
 
 
 class UNet(nn.Module):
-    """The full denoiser: x (b,h,w,c_in), t (b,) -> (b,h,w,c_out)."""
+    """The full denoiser: x (b,h,w,c_in), t (b,) -> (b,h,w,c_out).
+
+    Encoder propagation (opt-in sampling acceleration, arXiv:2312.09608
+    "Faster Diffusion"): `return_cache=True` additionally returns the
+    down-path features (bottleneck input + skip stack); a later call with
+    `cache=` skips conv_in and the whole down path and re-runs only the
+    middle/up path under the CURRENT timestep embedding.  Exact when x/t
+    match the caching call (tested); an approximation across nearby DDIM
+    steps (diffusion/process.py::ddim_sample_encoder_reuse)."""
 
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, cond=None, *, deterministic: bool = True):
+    def __call__(self, x, t, cond=None, *, deterministic: bool = True,
+                 cache=None, return_cache: bool = False):
         c = self.cfg
         mc = c.model_channels
         time_embed_dim = mc * 4
@@ -242,28 +251,33 @@ class UNet(nn.Module):
         if c.use_checkpoint:
             res_block = nn.remat(ResBlock, static_argnums=(3,))
 
-        h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
-            x.astype(self.dtype)
-        )
-        hs = [h]
-        ds = 1
-        # down path
-        for i_level, mult in enumerate(c.channel_mult):
-            for i_block in range(c.num_res_blocks):
-                h = res_block(
-                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
-                    name=f"down_{i_level}_{i_block}",
-                )(h, emb, deterministic=deterministic)
-                if ds in c.attention_resolutions:
-                    h = AttentionBlock(
-                        _num_heads(h.shape[-1], c), self.dtype,
-                        name=f"down_attn_{i_level}_{i_block}",
-                    )(h)
-                hs.append(h)
-            if i_level != len(c.channel_mult) - 1:
-                h = Downsample(self.dtype, name=f"downsample_{i_level}")(h)
-                hs.append(h)
-                ds *= 2
+        if cache is not None:
+            h, hs = cache[0], list(cache[1])
+            ds = 2 ** (len(c.channel_mult) - 1)
+        else:
+            h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+                x.astype(self.dtype)
+            )
+            hs = [h]
+            ds = 1
+            # down path
+            for i_level, mult in enumerate(c.channel_mult):
+                for i_block in range(c.num_res_blocks):
+                    h = res_block(
+                        mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                        name=f"down_{i_level}_{i_block}",
+                    )(h, emb, deterministic=deterministic)
+                    if ds in c.attention_resolutions:
+                        h = AttentionBlock(
+                            _num_heads(h.shape[-1], c), self.dtype,
+                            name=f"down_attn_{i_level}_{i_block}",
+                        )(h)
+                    hs.append(h)
+                if i_level != len(c.channel_mult) - 1:
+                    h = Downsample(self.dtype, name=f"downsample_{i_level}")(h)
+                    hs.append(h)
+                    ds *= 2
+        out_cache = (h, tuple(hs))
 
         # middle
         ch = h.shape[-1]
@@ -299,4 +313,6 @@ class UNet(nn.Module):
             c.out_channels, (3, 3), padding=1,
             kernel_init=nn.initializers.zeros, name="conv_out",
         )(h.astype(jnp.float32))
+        if return_cache:
+            return h, out_cache
         return h
