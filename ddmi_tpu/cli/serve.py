@@ -38,6 +38,11 @@ def main(argv=None):
                     help="occupancy: MISE base grid resolution")
     ap.add_argument("--mesh-upsampling", type=int, default=None,
                     help="occupancy: MISE octree refinement steps")
+    ap.add_argument("--turbo", type=int, default=1, metavar="K",
+                    help="image: encoder-propagation sampling — run the "
+                    "UNet down path only every K-th DDIM step "
+                    "(arXiv:2312.09608).  K>1 trades sample exactness for "
+                    "throughput; default 1 = reference-exact sampling")
     args = ap.parse_args(argv)
 
     mesh_kwargs = {}
@@ -47,6 +52,10 @@ def main(argv=None):
         mesh_kwargs["upsampling_steps"] = args.mesh_upsampling
 
     cfg = load_config(args.configs)
+    if args.turbo > 1:
+        cfg.model.ddpmconfig.extra["encoder_reuse"] = args.turbo
+        print(f"turbo sampling: encoder reuse every {args.turbo} steps "
+              "(non-exact, arXiv:2312.09608)")
     service = SamplerService(
         cfg, service_batch=args.batch, resolution=args.resolution,
         linger_ms=args.linger_ms, use_ema=not args.no_ema,

@@ -481,3 +481,21 @@ def test_nerf_serving_npy_and_gif(served_nerf_cfg):
             server.server_close()
     finally:
         svc.close()
+
+
+def test_turbo_serving(served_cfg):
+    """--turbo K routes serving through the encoder-reuse sampler
+    (cli/serve.py sets ddpmconfig.extra.encoder_reuse)."""
+    from ddmi_tpu.serve import SamplerService
+
+    served_cfg.model.ddpmconfig.extra["encoder_reuse"] = 2
+    try:
+        svc = SamplerService(
+            served_cfg, service_batch=2, resolution=16, linger_ms=5.0,
+            bf16=False,
+        )
+        out = svc.generate(n=1, seed=3, timeout=180)
+        assert out.shape == (1, 16, 16, 3) and out.dtype == np.uint8
+        svc.close()
+    finally:
+        served_cfg.model.ddpmconfig.extra.pop("encoder_reuse", None)
