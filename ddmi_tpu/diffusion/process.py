@@ -414,6 +414,35 @@ def ddim_sample_encoder_reuse(
     return img
 
 
+def ddim_sample_unet(
+    gd: GaussianDiffusion,
+    unet,
+    unet_params,
+    mixing_logit: Optional[jnp.ndarray],
+    shape: Tuple[int, ...],
+    rng: jax.Array,
+    noise: Optional[jnp.ndarray] = None,
+    encoder_reuse: int = 1,
+) -> jnp.ndarray:
+    """DDIM sampling for a nn/unet.py-style module, dispatching to the
+    encoder-propagation scan when encoder_reuse > 1 (the module must
+    support cache/return_cache — image/occupancy/NeRF all share that UNet;
+    the video UNet_Triplane does not and keeps the exact path)."""
+    if encoder_reuse > 1:
+        full_fn = lambda x, t: unet.apply(
+            {"params": unet_params}, x, t, return_cache=True
+        )
+        reuse_fn = lambda x, t, c: unet.apply(
+            {"params": unet_params}, x, t, cache=c
+        )
+        return ddim_sample_encoder_reuse(
+            gd, full_fn, reuse_fn, mixing_logit, shape, rng, encoder_reuse,
+            noise=noise,
+        )
+    model_fn = lambda x, t: unet.apply({"params": unet_params}, x, t)
+    return ddim_sample(gd, model_fn, mixing_logit, shape, rng, noise=noise)
+
+
 def p_sample_loop(
     gd: GaussianDiffusion,
     model_fn: ModelFn,

@@ -36,7 +36,12 @@ from ddmi_tpu.core.sn_reg import (
     norm_scale_loss,
     spectral_norm_loss,
 )
-from ddmi_tpu.diffusion.process import GaussianDiffusion, ddim_sample, diffusion_loss
+from ddmi_tpu.diffusion.process import (
+    GaussianDiffusion,
+    ddim_sample,
+    ddim_sample_unet,
+    diffusion_loss,
+)
 from ddmi_tpu.ops.resample import pixel_center_lin
 from ddmi_tpu.nn.inr import INRImage
 from ddmi_tpu.nn.unet import UNet
@@ -527,31 +532,19 @@ class ImagePipeline:
         shape = (batch, u.image_size, u.image_size, u.channels)
         rng_s, rng_noise = jax.random.split(rng)
 
+        # encoder_reuse > 1: opt-in turbo sampling (arXiv:2312.09608) — skip
+        # the UNet down path on reuse-1 of every `reuse` steps.  Changes
+        # samples; never the default.  See diffusion/process.py.
         reuse = int(u.extra.get("encoder_reuse", 1))
-        if reuse > 1:
-            # Opt-in turbo sampling (arXiv:2312.09608): skip the UNet down
-            # path on reuse-1 of every `reuse` steps.  Changes samples —
-            # never the default; see diffusion/process.py.
-            from ddmi_tpu.diffusion.process import ddim_sample_encoder_reuse
-
-            full_fn = lambda xt, t: self.unet.apply(
-                {"params": ldm_params["unet"]}, xt, t, return_cache=True
+        if reuse > 1 and self.is_dit:
+            raise ValueError(
+                "encoder_reuse needs the UNet down/up split; the MDTv2 "
+                "(model.DiT) denoiser does not support it"
             )
-            reuse_fn = lambda xt, t, cache: self.unet.apply(
-                {"params": ldm_params["unet"]}, xt, t, cache=cache
-            )
-            z = ddim_sample_encoder_reuse(
-                self.gd, full_fn, reuse_fn, ldm_params["mixing_logit"],
-                shape, rng_s, reuse, noise=noise,
-            )
-        else:
-            model_fn = lambda xt, t: self.unet.apply(
-                {"params": ldm_params["unet"]}, xt, t
-            )
-            z = ddim_sample(
-                self.gd, model_fn, ldm_params["mixing_logit"], shape, rng_s,
-                noise=noise,
-            )
+        z = ddim_sample_unet(
+            self.gd, self.unet, ldm_params["unet"], ldm_params["mixing_logit"],
+            shape, rng_s, noise=noise, encoder_reuse=reuse,
+        )
         # Run the decode+render leg in the stage-1 params' dtype (bf16 when the
         # caller casts params for sampling — flax promotion rules then keep the
         # whole conv/MXU path in bf16).

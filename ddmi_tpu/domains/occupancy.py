@@ -20,7 +20,12 @@ from ddmi_tpu.core.config import Config
 from ddmi_tpu.core.coords import linear_kl_coeff
 from ddmi_tpu.core.ema import ema_update
 from ddmi_tpu.core.sn_reg import init_sn_state, norm_scale_loss, spectral_norm_loss
-from ddmi_tpu.diffusion.process import GaussianDiffusion, ddim_sample, diffusion_loss
+from ddmi_tpu.diffusion.process import (
+    GaussianDiffusion,
+    ddim_sample,
+    ddim_sample_unet,
+    diffusion_loss,
+)
 from ddmi_tpu.domains.image import Stage1State, Stage2State
 from ddmi_tpu.nn.inr import INR3D
 from ddmi_tpu.nn.pointnet import LocalPoolPointnet
@@ -266,11 +271,10 @@ class OccupancyPipeline:
         m = self.cfg.model
         r = self.latent_res
         shape = (batch, r, r, m.ddpmconfig.channels)
-        model_fn = lambda xt, t: self.unet.apply(
-            {"params": ldm_params["unet"]}, xt, t
-        )
-        return ddim_sample(
-            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng, noise=noise
+        return ddim_sample_unet(
+            self.gd, self.unet, ldm_params["unet"], ldm_params["mixing_logit"],
+            shape, rng, noise=noise,
+            encoder_reuse=int(m.ddpmconfig.extra.get("encoder_reuse", 1)),
         )
 
     def decode_pyramids(self, stage1_params, z):

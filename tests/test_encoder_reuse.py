@@ -157,3 +157,19 @@ def test_pipeline_wiring(tmp_path):
         s2, s1, jax.random.PRNGKey(2), batch=2, resolution=16
     )
     assert imgs.shape[0] == 2 and np.isfinite(np.asarray(imgs)).all()
+
+
+def test_occupancy_sample_latents_turbo():
+    """occupancy/NeRF share the cached-split UNet; the extra routes them
+    through the encoder-reuse scan too (domains/{occupancy,nerf}.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_occupancy import tiny_occ_config
+    from ddmi_tpu.domains.occupancy import OccupancyPipeline
+
+    cfg = tiny_occ_config()
+    cfg.model.ddpmconfig.extra["encoder_reuse"] = 2
+    pipe = OccupancyPipeline(cfg)
+    state = pipe.init_stage2(jax.random.PRNGKey(0), 1)
+    z = pipe.sample_latents(state.params, jax.random.PRNGKey(1), batch=2)
+    assert np.isfinite(np.asarray(z)).all()
