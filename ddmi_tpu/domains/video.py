@@ -20,7 +20,12 @@ from ddmi_tpu.core.config import Config
 from ddmi_tpu.core.coords import linear_kl_coeff, symmetrize, unsymmetrize
 from ddmi_tpu.core.ema import ema_update
 from ddmi_tpu.core.sn_reg import init_sn_state, norm_scale_loss, spectral_norm_loss
-from ddmi_tpu.diffusion.process import GaussianDiffusion, ddim_sample, diffusion_loss
+from ddmi_tpu.diffusion.process import (
+    GaussianDiffusion,
+    ddim_sample,
+    ddim_sample_unet,
+    diffusion_loss,
+)
 from ddmi_tpu.domains.image import Stage1State, Stage2State
 from ddmi_tpu.nn.inr import INRVideo
 from ddmi_tpu.nn.unet_triplane import TriplaneUNet
@@ -395,11 +400,10 @@ class VideoPipeline:
         jittable program (tools/ldm/video.py eval path)."""
         m = self.cfg.model
         shape = (batch, self.n_latent_tokens, m.ddpmconfig.channels)
-        model_fn = lambda xt_, t: self.unet.apply(
-            {"params": ldm_params["unet"]}, xt_, t
-        )
-        z = ddim_sample(
-            self.gd, model_fn, ldm_params["mixing_logit"], shape, rng, noise=noise
+        z = ddim_sample_unet(
+            self.gd, self.unet, ldm_params["unet"], ldm_params["mixing_logit"],
+            shape, rng, noise=noise,
+            encoder_reuse=int(m.ddpmconfig.extra.get("encoder_reuse", 1)),
         )
         hdbf = self.vae.apply(
             {"params": stage1_params["vae"]}, z, method=self.vae.decode

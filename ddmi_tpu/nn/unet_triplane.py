@@ -54,7 +54,8 @@ class TriplaneUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, cond=None, *, deterministic: bool = True):
+    def __call__(self, x, t, cond=None, *, deterministic: bool = True,
+                 cache=None, return_cache: bool = False):
         c = self.cfg
         mc = c.model_channels
         shapes = [tuple(s) for s in c.plane_sizes]
@@ -65,40 +66,51 @@ class TriplaneUNet(nn.Module):
         emb = jax.nn.silu(emb)
         emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_dense2")(emb)
 
-        planes = split_tokens(x.astype(self.dtype), shapes)
-
         def xattn(planes, name):
             cur_shapes = [p.shape[1:3] for p in planes]
             h = AttnBlock1D(num_heads=16, name=name)(cat_tokens(planes))
             return split_tokens(h, cur_shapes)
 
-        # input stem
-        conv_in = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in")
-        planes = [conv_in(p) for p in planes]
-        skips = [planes]
-        ds = 1
+        if cache is not None:
+            # encoder propagation (see nn/unet.py / arXiv:2312.09608):
+            # skip the stem + down path, reuse the cached features
+            planes = list(cache[0])
+            skips = [list(s) for s in cache[1]]
+            ds = 2 ** (len(c.channel_mult) - 1)
+        else:
+            planes = split_tokens(x.astype(self.dtype), shapes)
+            # input stem
+            conv_in = nn.Conv(
+                mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in"
+            )
+            planes = [conv_in(p) for p in planes]
+            skips = [planes]
+            ds = 1
 
-        for i_level, mult in enumerate(c.channel_mult):
-            for i_block in range(c.num_res_blocks):
-                blk = ResBlock(
-                    mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
-                    name=f"down_{i_level}_{i_block}",
-                )
-                planes = [blk(p, emb, deterministic=deterministic) for p in planes]
-                if ds in c.attention_resolutions:
-                    attn = AttentionBlock(
-                        _num_heads(planes[0].shape[-1], c), self.dtype,
-                        name=f"down_attn_{i_level}_{i_block}",
+            for i_level, mult in enumerate(c.channel_mult):
+                for i_block in range(c.num_res_blocks):
+                    blk = ResBlock(
+                        mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
+                        name=f"down_{i_level}_{i_block}",
                     )
-                    planes = [attn(p) for p in planes]
-                planes = xattn(planes, f"down_xattn_{i_level}_{i_block}")
-                skips.append(planes)
-            if i_level != len(c.channel_mult) - 1:
-                down = Downsample(self.dtype, name=f"downsample_{i_level}")
-                planes = [down(p) for p in planes]
-                planes = xattn(planes, f"down_xattn_ds_{i_level}")
-                skips.append(planes)
-                ds *= 2
+                    planes = [
+                        blk(p, emb, deterministic=deterministic) for p in planes
+                    ]
+                    if ds in c.attention_resolutions:
+                        attn = AttentionBlock(
+                            _num_heads(planes[0].shape[-1], c), self.dtype,
+                            name=f"down_attn_{i_level}_{i_block}",
+                        )
+                        planes = [attn(p) for p in planes]
+                    planes = xattn(planes, f"down_xattn_{i_level}_{i_block}")
+                    skips.append(planes)
+                if i_level != len(c.channel_mult) - 1:
+                    down = Downsample(self.dtype, name=f"downsample_{i_level}")
+                    planes = [down(p) for p in planes]
+                    planes = xattn(planes, f"down_xattn_ds_{i_level}")
+                    skips.append(planes)
+                    ds *= 2
+        out_cache = (tuple(planes), tuple(tuple(s) for s in skips))
 
         ch = planes[0].shape[-1]
         mid1 = ResBlock(ch, c.dropout, c.use_scale_shift_norm, self.dtype,
@@ -150,4 +162,7 @@ class TriplaneUNet(nn.Module):
         planes = [
             conv_out(jax.nn.silu(norm(p)).astype(jnp.float32)) for p in planes
         ]
-        return cat_tokens(planes)
+        out = cat_tokens(planes)
+        if return_cache:
+            return out, out_cache
+        return out

@@ -173,3 +173,51 @@ def test_occupancy_sample_latents_turbo():
     state = pipe.init_stage2(jax.random.PRNGKey(0), 1)
     z = pipe.sample_latents(state.params, jax.random.PRNGKey(1), batch=2)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_triplane_unet_split_exact():
+    """TriplaneUNet (video) supports the same cache split, exactly."""
+    from ddmi_tpu.nn.unet_triplane import TriplaneUNet
+
+    cfg = UNetConfig(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=16,
+        triplane=True, plane_sizes=((8, 8), (4, 8), (4, 8)),
+    )
+    m = TriplaneUNet(cfg)
+    n = 8 * 8 + 2 * 4 * 8
+    x0 = jnp.zeros((2, n, 4))
+    p = m.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,), jnp.int32))["params"]
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    p = jax.tree_util.tree_unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, n, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    full = m.apply({"params": p}, x, t)
+    out, cache = m.apply({"params": p}, x, t, return_cache=True)
+    reused = m.apply({"params": p}, x, t, cache=cache)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(reused))
+    # timestep embedding stays live on the reuse path
+    other = m.apply({"params": p}, x, jnp.array([15, 15], jnp.int32),
+                    cache=cache)
+    assert not np.allclose(np.asarray(full), np.asarray(other))
+
+
+def test_video_sample_turbo():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_video import tiny_video_config
+    from ddmi_tpu.domains.video import VideoPipeline
+
+    cfg = tiny_video_config()
+    cfg.model.ddpmconfig.extra["encoder_reuse"] = 2
+    pipe = VideoPipeline(cfg)
+    s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
+    s2 = pipe.init_stage2_params(jax.random.PRNGKey(1))
+    vids = pipe.sample_videos(s2, s1, jax.random.PRNGKey(2), batch=1)
+    assert np.isfinite(np.asarray(vids)).all()
