@@ -42,6 +42,10 @@ def _bf16(tree):
 def main():
     cfg = load_config("configs/ldm/skytimelapse.yaml")
     object.__setattr__(cfg.model.ddpmconfig, "sampling_timesteps", NFE)
+    # DDMI_ENCODER_REUSE=k: A/B the turbo sampler (non-protocol; labeled)
+    reuse = int(os.environ.get("DDMI_ENCODER_REUSE", "1"))
+    if reuse > 1:
+        cfg.model.ddpmconfig.extra["encoder_reuse"] = reuse
     pipe = VideoPipeline(cfg)
 
     s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
@@ -69,7 +73,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"videos/sec/chip, {FRAMES}f 256^2 gen, NFE={NFE}",
+                "metric": f"videos/sec/chip, {FRAMES}f 256^2 gen, NFE={NFE}"
+                + (f", encoder_reuse={reuse} (turbo, non-protocol)"
+                   if reuse > 1 else ""),
                 "value": round(videos_per_sec, 4),
                 "unit": "videos/sec/chip",
                 "frames_per_sec": round(videos_per_sec * FRAMES, 2),
