@@ -177,24 +177,30 @@ def _fwd_impl(
     eb = gn_bias.astype(jnp.float32)[None, :] - mean_c * es
 
     wqkv_b, bqkv_b, wproj_b = _pack(w_qkv, b_qkv, w_proj, num_heads, hd, hc, x.dtype)
-    bproj = b_proj.astype(jnp.float32).reshape(1, C)
+    bproj = b_proj.astype(jnp.float32).reshape(1, 1, C)
 
+    # Mosaic requires each block's last two dims to be 8/128-divisible or
+    # equal to the array's — a (1, C) block over a (B, C) array is rejected
+    # on real TPUs (fine in interpret mode).  Lift the per-batch / per-chunk
+    # vectors to (N, 1, C)-shaped arrays so every block spans full trailing
+    # dims; inside the kernel ref[0] is (1, C) and broadcasts as before.
     out = pl.pallas_call(
         functools.partial(_kernel, hc=hc, hd=hd, sm_scale=sm_scale),
         grid=(B, nchunks),
         in_specs=[
             pl.BlockSpec((1, n, C), lambda b, c: (b, 0, 0)),      # x
-            pl.BlockSpec((1, C), lambda b, c: (b, 0)),            # es
-            pl.BlockSpec((1, C), lambda b, c: (b, 0)),            # eb
+            pl.BlockSpec((1, 1, C), lambda b, c: (b, 0, 0)),      # es
+            pl.BlockSpec((1, 1, C), lambda b, c: (b, 0, 0)),      # eb
             pl.BlockSpec((1, C, S3), lambda b, c: (c, 0, 0)),     # wqkv
-            pl.BlockSpec((1, S3), lambda b, c: (c, 0)),           # bqkv
+            pl.BlockSpec((1, 1, S3), lambda b, c: (c, 0, 0)),     # bqkv
             pl.BlockSpec((1, hc * hd, C), lambda b, c: (c, 0, 0)),  # wproj
-            pl.BlockSpec((1, C), lambda b, c: (0, 0)),            # bproj
+            pl.BlockSpec((1, 1, C), lambda b, c: (0, 0, 0)),      # bproj
         ],
         out_specs=pl.BlockSpec((1, n, C), lambda b, c: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
         interpret=interpret,
-    )(xf, es, eb, wqkv_b, bqkv_b, wproj_b, bproj)
+    )(xf, es[:, None, :], eb[:, None, :], wqkv_b, bqkv_b[:, None, :],
+      wproj_b, bproj)
     return out.astype(x.dtype).reshape(B, H, W, C)
 
 

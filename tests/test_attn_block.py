@@ -134,6 +134,39 @@ def test_attention_block_selects_fused_kernel_on_tpu(monkeypatch):
     assert out.shape == x.shape
 
 
+def test_block_specs_satisfy_mosaic_lowering_rule(monkeypatch):
+    """Interpret mode does NOT check Mosaic's block-shape rule, so a CPU
+    parity test can pass while real-TPU lowering fails (this exact bug
+    shipped once: (1, C) bias blocks over (B, C) arrays).  Capture the
+    specs/operands handed to pallas_call and enforce the rule here: each
+    block's last two dims must be divisible by (8, 128) or equal the
+    operand's."""
+    import ddmi_tpu.ops.pallas.attn_block as mod
+
+    captured = []
+
+    def fake_pallas_call(kernel, *, grid, in_specs, out_specs, out_shape,
+                         interpret=False):
+        def run(*operands):
+            for spec, op in zip(in_specs, operands):
+                captured.append((spec.block_shape, op.shape))
+            captured.append((out_specs.block_shape, out_shape.shape))
+            return jnp.zeros(out_shape.shape, out_shape.dtype)
+
+        return run
+
+    monkeypatch.setattr(mod.pl, "pallas_call", fake_pallas_call)
+    for B, H, W, C, nh in [(8, 32, 32, 512, 16), (8, 16, 16, 1024, 32),
+                           (8, 8, 8, 2048, 64)]:
+        args = _args(jax.random.PRNGKey(7), B, H, W, C)
+        fused_attention_block(*args, nh, (C // nh) ** -0.5)
+    assert captured, "pallas_call was never reached"
+    for block, arr in captured:
+        assert len(block) == len(arr)
+        assert block[-1] % 128 == 0 or block[-1] == arr[-1], (block, arr)
+        assert block[-2] % 8 == 0 or block[-2] == arr[-2], (block, arr)
+
+
 def test_conv1x1_matches_nn_conv():
     """_Conv1x1 must be a drop-in for nn.Conv((1,1)): identical param tree
     and identical outputs for the same params."""
