@@ -66,7 +66,10 @@ TARGET_SAMPLES_PER_SEC = 2.9  # floor: top of the A100 uncertainty range
 TARGET_CEILING_BAND = (3.7, 4.4)  # measured architecture ceiling (BASELINE.md)
 
 NFE = 100
-BATCH = 8
+# Batch is a free protocol choice for a throughput metric (the reference's
+# generate() also batches, tools/ldm/image.py:240); default from the measured
+# single-chip sweep (see BASELINE.md), overridable for A/B sweeps.
+BATCH = int(os.environ.get("DDMI_BENCH_BATCH", "8"))
 RESOLUTION = 256
 
 

@@ -40,14 +40,15 @@ VMEM_ATTN_MAX_TOKENS = 1024
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, hpb: int):
     for h in range(hpb):
-        q = q_ref[0, h]  # (n, hd)
+        # Fold the softmax scale into q — (n, hd) work instead of an (n, n)
+        # VPU pass over the score matrix.
+        q = q_ref[0, h] * jnp.asarray(sm_scale, q_ref.dtype)  # (n, hd)
         k = k_ref[0, h]
         v = v_ref[0, h]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * sm_scale
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         # Normalize AFTER the value contraction: the divide runs on the

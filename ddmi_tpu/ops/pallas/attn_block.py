@@ -86,8 +86,15 @@ def _kernel(
         h, wqkv_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    qkv = (qkv + bqkv_ref[0]).astype(x.dtype)  # (n, 3*hc*hd)
+    qkv = qkv + bqkv_ref[0]  # (n, 3*hc*hd) fp32
     S = hc * hd
+    # Fold the softmax scale into q here — (n, S) fp32 work — instead of
+    # scaling the (n, n) score matrix once per head (saves a full n² VPU
+    # pass per head; same math, applied before the bf16 cast so precision
+    # matches the post-dot scaling it replaces).
+    qs = jax.lax.slice(qkv, (0, 0), (n, S)) * sm_scale
+    kv = jax.lax.slice(qkv, (0, S), (n, 3 * S))
+    qkv = jnp.concatenate([qs, kv], axis=-1).astype(x.dtype)
     outs = []
     for i in range(hc):
         q = jax.lax.slice(qkv, (0, i * hd), (n, (i + 1) * hd))
@@ -96,8 +103,7 @@ def _kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        s = s * sm_scale
+        )  # scale already folded into q above
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         av = jax.lax.dot_general(
