@@ -126,9 +126,11 @@ def main():
         json.dumps(
             {
                 "metric": f"samples/sec/chip, {RESOLUTION}^2 image gen, NFE={NFE}"
-                + (f", encoder_reuse={reuse} (turbo, non-protocol)" if reuse > 1 else ""),
+                + (f", encoder_reuse={reuse} (turbo, non-protocol)" if reuse > 1 else "")
+                + (f", batch={BATCH} (non-protocol)" if BATCH != 8 else ""),
                 "value": round(samples_per_sec_per_chip, 4),
                 "unit": "samples/sec/chip",
+                "batch": BATCH,
                 "vs_baseline": round(
                     samples_per_sec_per_chip / BASELINE_A100_SAMPLES_PER_SEC, 4
                 ),

@@ -41,8 +41,11 @@ VMEM_ATTN_MAX_TOKENS = 1024
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, hpb: int):
     for h in range(hpb):
         # Fold the softmax scale into q — (n, hd) work instead of an (n, n)
-        # VPU pass over the score matrix.
-        q = q_ref[0, h] * jnp.asarray(sm_scale, q_ref.dtype)  # (n, hd)
+        # VPU pass over the score matrix.  The multiply runs in fp32 and the
+        # product takes ONE rounding to q's dtype; vs the post-dot fp32
+        # `s * sm_scale` this costs at most one extra bf16 rounding of q*scale
+        # (same order as the bf16 representation error already present in q).
+        q = (q_ref[0, h].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
         k = k_ref[0, h]
         v = v_ref[0, h]
         s = jax.lax.dot_general(

@@ -88,18 +88,19 @@ def _kernel(
     )
     qkv = qkv + bqkv_ref[0]  # (n, 3*hc*hd) fp32
     S = hc * hd
-    # Fold the softmax scale into q here — (n, S) fp32 work — instead of
+    # Fold the softmax scale into q per head — (n, hd) fp32 work — instead of
     # scaling the (n, n) score matrix once per head (saves a full n² VPU
     # pass per head; same math, applied before the bf16 cast so precision
-    # matches the post-dot scaling it replaces).
-    qs = jax.lax.slice(qkv, (0, 0), (n, S)) * sm_scale
-    kv = jax.lax.slice(qkv, (0, S), (n, 3 * S))
-    qkv = jnp.concatenate([qs, kv], axis=-1).astype(x.dtype)
+    # matches the post-dot scaling it replaces).  Slices are cast directly,
+    # with no (n, 3*hc*hd) concatenate intermediate living in VMEM.
     outs = []
     for i in range(hc):
-        q = jax.lax.slice(qkv, (0, i * hd), (n, (i + 1) * hd))
-        k = jax.lax.slice(qkv, (0, S + i * hd), (n, S + (i + 1) * hd))
-        v = jax.lax.slice(qkv, (0, 2 * S + i * hd), (n, 2 * S + (i + 1) * hd))
+        q = (jax.lax.slice(qkv, (0, i * hd), (n, (i + 1) * hd)) * sm_scale
+             ).astype(x.dtype)
+        k = jax.lax.slice(qkv, (0, S + i * hd), (n, S + (i + 1) * hd)
+                          ).astype(x.dtype)
+        v = jax.lax.slice(qkv, (0, 2 * S + i * hd), (n, 2 * S + (i + 1) * hd)
+                          ).astype(x.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
