@@ -135,6 +135,16 @@ class UNetConfig:
     # triplane (video) variant: cross-plane 1D attention after each block
     triplane: bool = False
     plane_sizes: Tuple[Tuple[int, int], ...] = ()
+    # context-conditioned denoiser: swap self-attention for SpatialTransformer
+    # blocks cross-attending to a (B, n_ctx, context_dim) context tensor
+    # (reference openaimodel.py:512-528 use_spatial_transformer/context_dim;
+    # no shipped DDMI config enables it, but the framework supports it)
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
+    context_dim: Optional[int] = None
+    # class-conditional variant: label embedding added to the timestep
+    # embedding (reference openaimodel.py:565-566 num_classes/label_emb)
+    num_classes: Optional[int] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

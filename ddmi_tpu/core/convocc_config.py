@@ -95,6 +95,9 @@ def generation_kwargs(conv_cfg: Dict[str, Any]) -> Dict[str, Any]:
         "resolution0": g.get("resolution_0", 64),
         "upsampling_steps": g.get("upsampling_steps", 2),
         "simplify_nfaces": g.get("simplify_nfaces"),
+        # gradient-based vertex refinement (reference default.yaml:49,
+        # conv_onet/config.py:122, generation.py:219-222)
+        "refinement_step": g.get("refinement_step", 0),
     }
 
 

@@ -20,9 +20,121 @@ import numpy as np
 from ddmi_tpu import geometry
 
 
+def _bucket(n: int, quantum: int = 4096) -> int:
+    """Round up to a shape bucket so per-mesh refinement compiles are bounded
+    (meshes have arbitrary vertex/face counts; jit needs static shapes)."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def refine_mesh(
+    verts: np.ndarray,
+    tris: np.ndarray,
+    logits_fn,
+    *,
+    threshold: float = 0.2,
+    steps: int = 30,
+    lr: float = 1e-4,
+    normal_weight: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """Gradient-based vertex refinement (convocc/src/conv_onet/
+    generation.py:256-318 refine_mesh), reformulated TPU-first.
+
+    Per step (reference semantics): sample one Dirichlet(0.5,0.5,0.5) point
+    per face, pull its occupancy probability toward `threshold` (the
+    iso-level) and align each face normal with the negative occupancy
+    gradient; optimize vertices with RMSprop(lr=1e-4).
+
+    TPU-first shape: the reference's Python optimizer loop (one
+    autograd.grad + RMSprop step per iteration, host-driven) becomes ONE
+    jitted `lax.scan` over a fixed step count — Dirichlet sampling via
+    jax.random inside the scan, the occupancy gradient via `jax.grad` of
+    the (differentiable) decode closure, second-order terms handled by
+    composing grads exactly like the reference's create_graph=True.
+    Vertices/faces are padded to shape buckets with masked dummy faces so
+    arbitrary meshes reuse a bounded set of compiled programs.
+
+    logits_fn: differentiable (b=1, n, 3) -> (1, n) occupancy logits — the
+    same closure MeshGenerator evaluates (decode_logits_fn).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    nv, nf = len(verts), len(tris)
+    if nv == 0 or nf == 0 or steps <= 0:
+        return verts
+    pv, pf = _bucket(nv), _bucket(nf)
+    v0 = np.zeros((pv, 3), np.float32)
+    v0[:nv] = verts
+    f = np.zeros((pf, 3), np.int32)
+    f[:nf] = tris
+    mask = np.zeros((pf,), np.float32)
+    mask[:nf] = 1.0
+    denom = float(nf)
+
+    # torch.optim.RMSprop defaults (alpha=0.99, eps=1e-8), reference :281
+    opt = optax.rmsprop(lr, decay=0.99, eps=1e-8)
+
+    @jax.jit
+    def run(v0, faces, mask, rng):
+        def step(carry, _):
+            v, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            eps = jax.random.dirichlet(
+                k, jnp.array([0.5, 0.5, 0.5]), (faces.shape[0],)
+            )  # (F, 3) barycentric weights, reference :288
+
+            def loss_fn(v):
+                fv = v[faces]  # (F, 3, 3)
+                fp = (fv * eps[:, :, None]).sum(axis=1)  # (F, 3)
+                e1 = fv[:, 1] - fv[:, 0]
+                e2 = fv[:, 2] - fv[:, 1]
+                fn = jnp.cross(e1, e2)
+                # eps INSIDE the sqrt: d|x|/dx at x=0 is NaN, and padded
+                # dummy faces have exactly-zero normals — NaN * mask would
+                # still poison the whole gradient
+                fn = fn / jnp.sqrt(
+                    (fn**2).sum(axis=1, keepdims=True) + 1e-20
+                )
+                prob = lambda p: jax.nn.sigmoid(logits_fn(p[None])[0])
+                face_value = prob(fp)  # (F,)
+                grad_p = jax.grad(lambda p: prob(p).sum())(fp)  # (F, 3)
+                nt = -grad_p
+                nt = nt / jnp.sqrt(
+                    (nt**2).sum(axis=1, keepdims=True) + 1e-20
+                )
+                # masked means over REAL faces (reference means are unmasked
+                # because it never pads)
+                loss_t = ((face_value - threshold) ** 2 * mask).sum() / denom
+                loss_n = (
+                    ((fn - nt) ** 2).sum(axis=1) * mask
+                ).sum() / denom
+                return loss_t + normal_weight * loss_n
+
+            g = jax.grad(loss_fn)(v)
+            updates, opt_state = opt.update(g, opt_state, v)
+            return (optax.apply_updates(v, updates), opt_state, rng), None
+
+        init = (v0, opt.init(v0), rng)
+        (v, _, _), _ = jax.lax.scan(step, init, None, length=steps)
+        return v
+
+    out = np.asarray(
+        run(jnp.asarray(v0), jnp.asarray(f), jnp.asarray(mask),
+            jax.random.PRNGKey(seed))
+    )
+    return out[:nv].astype(verts.dtype, copy=False)
+
+
 @dataclasses.dataclass
 class MeshGenerator:
-    """eval_points_fn: jitted (b=1, n, 3) float32 -> (1, n) occupancy logits."""
+    """eval_points_fn: jitted (b=1, n, 3) float32 -> (1, n) occupancy logits.
+
+    When `refinement_step > 0` the extracted (and optionally simplified) mesh
+    gets gradient-based vertex refinement (reference generation.py:219-222;
+    `refine_mesh` above) — eval_points_fn doubles as the differentiable
+    occupancy closure."""
 
     eval_points_fn: Callable[[np.ndarray], np.ndarray]
     threshold: float = 0.2
@@ -31,6 +143,8 @@ class MeshGenerator:
     padding: float = 0.1
     points_batch_size: int = 100_000
     simplify_nfaces: Optional[int] = None
+    refinement_step: int = 0
+    refinement_lr: float = 1e-4
 
     def _eval(self, pts: np.ndarray) -> np.ndarray:
         """Chunked + padded device evaluation (fixed shapes under jit)."""
@@ -91,6 +205,14 @@ class MeshGenerator:
         if self.simplify_nfaces is not None and len(tris) > self.simplify_nfaces:
             verts, tris = geometry.simplify_mesh(
                 verts, tris, self.simplify_nfaces, 5.0
+            )
+        if self.refinement_step > 0:
+            # reference order: simplify, then refine (generation.py:213-222);
+            # refine compares sigmoid(logit) to the PROB threshold (:271-299)
+            verts = refine_mesh(
+                verts, tris, self.eval_points_fn,
+                threshold=self.threshold, steps=self.refinement_step,
+                lr=self.refinement_lr,
             )
         return verts, tris
 

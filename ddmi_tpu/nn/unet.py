@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ddmi_tpu.core.config import UNetConfig
+from ddmi_tpu.nn.transformer import SpatialTransformer
 from ddmi_tpu.ops.fused import FastGroupNorm
 from ddmi_tpu.ops.pallas import attention as vmem_attn
 from ddmi_tpu.ops.pallas import attn_block
@@ -236,16 +237,50 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, cond=None, *, deterministic: bool = True,
+    def __call__(self, x, t, cond=None, y=None, *, deterministic: bool = True,
                  cache=None, return_cache: bool = False):
         c = self.cfg
         mc = c.model_channels
         time_embed_dim = mc * 4
 
+        if cond is not None and not c.use_spatial_transformer:
+            # No silently-ignored conditioning: the self-attention UNet has no
+            # context path (the reference asserts the same pairing,
+            # openaimodel.py:523-527).
+            raise ValueError(
+                "cond was passed but unetconfig.use_spatial_transformer is "
+                "off — enable it (with context_dim) to get the "
+                "cross-attention conditioning path"
+            )
+        if c.use_spatial_transformer and c.context_dim is None:
+            raise ValueError(
+                "use_spatial_transformer requires unetconfig.context_dim"
+            )
+
         emb = timestep_embedding(t, mc)
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense1")(emb)
         emb = jax.nn.silu(emb)
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_dense2")(emb)
+
+        if c.num_classes is not None:
+            # Class-conditional: label embedding added to the timestep
+            # embedding (openaimodel.py:565-566, :745-748).
+            if y is None:
+                raise ValueError("num_classes is set; class labels y required")
+            emb = emb + nn.Embed(
+                c.num_classes, time_embed_dim, dtype=self.dtype,
+                name="label_emb",
+            )(y)
+
+        def attn(h, name):
+            nh = _num_heads(h.shape[-1], c)
+            if c.use_spatial_transformer:
+                return SpatialTransformer(
+                    h.shape[-1], nh, h.shape[-1] // nh,
+                    depth=c.transformer_depth, dropout=c.dropout,
+                    context_dim=c.context_dim, dtype=self.dtype, name=name,
+                )(h, context=cond, deterministic=deterministic)
+            return AttentionBlock(nh, self.dtype, name=name)(h)
 
         res_block = ResBlock
         if c.use_checkpoint:
@@ -268,10 +303,7 @@ class UNet(nn.Module):
                         name=f"down_{i_level}_{i_block}",
                     )(h, emb, deterministic=deterministic)
                     if ds in c.attention_resolutions:
-                        h = AttentionBlock(
-                            _num_heads(h.shape[-1], c), self.dtype,
-                            name=f"down_attn_{i_level}_{i_block}",
-                        )(h)
+                        h = attn(h, f"down_attn_{i_level}_{i_block}")
                     hs.append(h)
                 if i_level != len(c.channel_mult) - 1:
                     h = Downsample(self.dtype, name=f"downsample_{i_level}")(h)
@@ -284,7 +316,7 @@ class UNet(nn.Module):
         h = res_block(
             ch, c.dropout, c.use_scale_shift_norm, self.dtype, name="mid_block1"
         )(h, emb, deterministic=deterministic)
-        h = AttentionBlock(_num_heads(ch, c), self.dtype, name="mid_attn")(h)
+        h = attn(h, "mid_attn")
         h = res_block(
             ch, c.dropout, c.use_scale_shift_norm, self.dtype, name="mid_block2"
         )(h, emb, deterministic=deterministic)
@@ -298,10 +330,7 @@ class UNet(nn.Module):
                     name=f"up_{i_level}_{i_block}",
                 )(h, emb, deterministic=deterministic)
                 if ds in c.attention_resolutions:
-                    h = AttentionBlock(
-                        _num_heads(h.shape[-1], c), self.dtype,
-                        name=f"up_attn_{i_level}_{i_block}",
-                    )(h)
+                    h = attn(h, f"up_attn_{i_level}_{i_block}")
             if i_level != 0:
                 h = Upsample(self.dtype, name=f"upsample_{i_level}")(h)
                 ds //= 2
