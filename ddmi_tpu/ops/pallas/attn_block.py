@@ -48,14 +48,18 @@ from ddmi_tpu.ops.fused import group_norm_stats_mxu
 FUSED_BLOCK_MAX_TOKENS = 1024
 
 
-def _pick_hc(n: int, nh: int) -> int:
-    """Heads per grid instance, bounded by live fp32 score-matrix VMEM."""
+def _pick_hc(n: int, nh: int, hd: int) -> int:
+    """Heads per grid instance, bounded by live fp32 score-matrix VMEM and
+    by the per-chunk weight-block footprint (hc*hd capped at 256 lanes: at
+    C=2048 a (C, 3*hc*hd) bf16 qkv block is 3 MB, x2 for double buffering —
+    wider chunks OOM'd scoped VMEM at head_dim 64/128 on v5e)."""
     if n >= 1024:
         target = 1
     elif n >= 256:
         target = 4
     else:
         target = 8
+    target = min(target, max(1, 256 // hd))
     for hc in range(min(target, nh), 0, -1):
         if nh % hc == 0:
             return hc
@@ -88,19 +92,20 @@ def _kernel(
     )
     qkv = qkv + bqkv_ref[0]  # (n, 3*hc*hd) fp32
     S = hc * hd
-    # Fold the softmax scale into q per head — (n, hd) fp32 work — instead of
-    # scaling the (n, n) score matrix once per head (saves a full n² VPU
-    # pass per head; same math, applied before the bf16 cast so precision
-    # matches the post-dot scaling it replaces).  Slices are cast directly,
-    # with no (n, 3*hc*hd) concatenate intermediate living in VMEM.
+    # Fold the softmax scale into q — (n, S) fp32 work — instead of scaling
+    # the (n, n) score matrix once per head (saves a full n² VPU pass per
+    # head; same math, applied before the bf16 cast so precision matches the
+    # post-dot scaling it replaces).  Two casts with NO (n, 3*hc*hd)
+    # concatenate intermediate; the fp32 qkv is dead after these two ops
+    # (keeping it live through the head loop cost +1 MB scoped VMEM and
+    # OOM'd the n=64/C=2048 block at head_dim 64 on v5e).
+    q_all = (jax.lax.slice(qkv, (0, 0), (n, S)) * sm_scale).astype(x.dtype)
+    kv_all = jax.lax.slice(qkv, (0, S), (n, 3 * S)).astype(x.dtype)
     outs = []
     for i in range(hc):
-        q = (jax.lax.slice(qkv, (0, i * hd), (n, (i + 1) * hd)) * sm_scale
-             ).astype(x.dtype)
-        k = jax.lax.slice(qkv, (0, S + i * hd), (n, S + (i + 1) * hd)
-                          ).astype(x.dtype)
-        v = jax.lax.slice(qkv, (0, 2 * S + i * hd), (n, 2 * S + (i + 1) * hd)
-                          ).astype(x.dtype)
+        q = jax.lax.slice(q_all, (0, i * hd), (n, (i + 1) * hd))
+        k = jax.lax.slice(kv_all, (0, i * hd), (n, (i + 1) * hd))
+        v = jax.lax.slice(kv_all, (0, S + i * hd), (n, S + (i + 1) * hd))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -170,7 +175,7 @@ def _fwd_impl(
     B, H, W, C = x.shape
     n = H * W
     hd = C // num_heads
-    hc = _pick_hc(n, num_heads)
+    hc = _pick_hc(n, num_heads, hd)
     nchunks = num_heads // hc
     S3 = 3 * hc * hd
 

@@ -95,10 +95,13 @@ def test_gradient_through_custom_vjp():
 
 
 def test_pick_hc_and_supported():
-    assert _pick_hc(1024, 16) == 1
-    assert _pick_hc(256, 32) == 4
-    assert _pick_hc(64, 64) == 8
-    assert _pick_hc(256, 3) == 3   # falls to a divisor
+    assert _pick_hc(1024, 16, 32) == 1
+    assert _pick_hc(256, 32, 32) == 4
+    assert _pick_hc(64, 64, 32) == 8
+    assert _pick_hc(256, 3, 32) == 3   # falls to a divisor
+    # wide heads shrink the chunk so the weight block fits scoped VMEM
+    assert _pick_hc(64, 32, 64) == 4
+    assert _pick_hc(64, 16, 128) == 2
     assert supported(1024, 512, 16)
     assert supported(256, 1024, 32)
     assert supported(64, 2048, 64)
