@@ -390,22 +390,35 @@ class Trainer:
             return out
 
         if domain == "occupancy":
-            from ddmi_tpu.geometry.generation import MeshGenerator
+            from ddmi_tpu.geometry.generation import (
+                generate_meshes_batched,
+                refine_mesh,
+            )
 
             z = jax.jit(lambda lp, r: self.pipe.sample_latents(lp, r, n))(
                 s2.ema_params, rng
             )
             os.makedirs(out_dir, exist_ok=True)
-            meshes = []
-            for i in range(n):
-                eval_fn = jax.jit(
-                    self.pipe.decode_logits_fn(s1.params, z[i : i + 1])
-                )
-                gen = MeshGenerator(
-                    eval_fn, **getattr(self.pipe, "generation_kwargs", {})
-                )
-                verts, tris = gen.generate()
-                meshes.append((verts, tris))
+            gk = dict(getattr(self.pipe, "generation_kwargs", {}))
+            refine_steps = int(gk.pop("refinement_step", 0) or 0)
+            pyr = jax.jit(self.pipe.decode_pyramids)(s1.params, z)
+            meshes = generate_meshes_batched(
+                jax.jit(lambda pts: self.pipe.logits_from_pyramids(
+                    s1.params, pts, pyr
+                )),
+                n, **gk,
+            )
+            for i, (verts, tris) in enumerate(meshes):
+                if refine_steps > 0 and len(tris):
+                    verts = refine_mesh(
+                        verts, tris,
+                        jax.jit(self.pipe.decode_logits_fn(
+                            s1.params, z[i : i + 1]
+                        )),
+                        threshold=gk.get("threshold", 0.2),
+                        steps=refine_steps,
+                    )
+                    meshes[i] = (verts, tris)
                 _save_off(os.path.join(out_dir, f"mesh_{i}.off"), verts, tris)
             return meshes
 
@@ -615,7 +628,8 @@ class Trainer:
             elif domain == "occupancy":
                 from ddmi_tpu.evals.metrics_3d import mmd_cov_1nna
                 from ddmi_tpu.geometry.generation import (
-                    MeshGenerator,
+                    generate_meshes_batched,
+                    refine_mesh,
                     sample_surface_points,
                 )
 
@@ -628,20 +642,48 @@ class Trainer:
                 z = jax.jit(
                     lambda lp, r: self.pipe.sample_latents(lp, r, k)
                 )(s2.ema_params, jax.random.PRNGKey(0))
-                gen_pts = []
-                for i in range(k):
-                    eval_fn = jax.jit(
-                        self.pipe.decode_logits_fn(s1.params, z[i : i + 1])
+                # Protocol-scale extraction: groups of `mesh_batch` meshes in
+                # MISE lockstep, one batched device eval per round (the
+                # reference extracts one mesh at a time).
+                gk = dict(getattr(self.pipe, "generation_kwargs", {}))
+                refine_steps = int(gk.pop("refinement_step", 0) or 0)
+                group = max(1, min(
+                    k, int(self.cfg.data.extra.get("mesh_batch", 8))
+                ))
+                eval_group = jax.jit(
+                    lambda pyr, pts: self.pipe.logits_from_pyramids(
+                        s1.params, pts, pyr
                     )
-                    verts, tris = MeshGenerator(
-                        eval_fn, **getattr(self.pipe, "generation_kwargs", {})
-                    ).generate()
-                    if len(tris):
+                )
+                decode = jax.jit(self.pipe.decode_pyramids)
+                gen_pts = []
+                for g0 in range(0, k, group):
+                    zg = z[g0 : g0 + group]
+                    real = int(zg.shape[0])
+                    if real < group:  # last group: pad to the compiled shape
+                        zg = jnp.concatenate(
+                            [zg] + [zg[-1:]] * (group - real), axis=0
+                        )
+                    pyr = decode(s1.params, zg)
+                    meshes = generate_meshes_batched(
+                        lambda pts: eval_group(pyr, pts), group, **gk
+                    )[:real]
+                    for j, (verts, tris) in enumerate(meshes):
+                        if not len(tris):
+                            continue
+                        if refine_steps > 0:
+                            verts = refine_mesh(
+                                verts, tris,
+                                jax.jit(self.pipe.decode_logits_fn(
+                                    s1.params, zg[j : j + 1]
+                                )),
+                                threshold=gk.get("threshold", 0.2),
+                                steps=refine_steps,
+                            )
                         gen_pts.append(
                             sample_surface_points(verts, tris, 2048)
                         )
-                    if (i + 1) % 10 == 0 or i + 1 == k:
-                        print(f"occupancy eval: mesh {i + 1}/{k}")
+                    print(f"occupancy eval: mesh {min(g0 + group, k)}/{k}")
                 ref_pts = []
                 for i, b in enumerate(data):
                     if len(ref_pts) >= k:
@@ -651,17 +693,48 @@ class Trainer:
                 if gen_pts and ref_pts:
                     m = mmd_cov_1nna(np.stack(ref_pts[:k]), np.stack(gen_pts))
                     results.update({k_: float(v) for k_, v in m.items()})
+                else:
+                    print(
+                        f"occupancy eval: MMD/COV skipped — "
+                        f"{len(gen_pts)} non-empty generated meshes, "
+                        f"{len(ref_pts)} reference clouds"
+                    )
             elif domain == "nerf":
                 self.generate(n=1)
                 results["generated"] = 1.0
 
         self.logger.log(0, results, prefix="eval/")
+
+        # Quality-parity gates (data.extra.quality_gates): user-provided
+        # published numbers (arXiv:2401.12517) -> pass/fail verdict in ONE
+        # eval run.  evals/gates.py documents the config shape.  Attached
+        # after metric logging (gate detail is nested, metrics are flat).
+        gates = self.cfg.data.extra.get("quality_gates") or {}
+        if gates:
+            from ddmi_tpu.evals.gates import check_gates
+
+            passed, detail = check_gates(results, gates)
+            results["gates"] = detail
+            results["gates_passed"] = passed
+            verdict = "PASS" if passed else "FAIL"
+            print(f"quality gates: {verdict}")
+            for name, d in detail.items():
+                print(
+                    f"  {name}: {d['value']:.6g} vs published "
+                    f"{d['published']:.6g} (±{d['tol_pct']}%, "
+                    f"{d['direction']}) -> "
+                    f"{'pass' if d['passed'] else 'FAIL'}"
+                )
         out = os.path.join(self.save_dir, "eval.json")
         import json
 
         with open(out, "w") as f:
             json.dump(results, f)
         print("eval results:", results)
+        if gates and not results["gates_passed"]:
+            raise SystemExit(
+                "quality gates FAILED — see eval.json for detail"
+            )
         return results
 
     @staticmethod

@@ -107,3 +107,21 @@ def test_cli_occupancy_train_both_stages(tmp_path):
         f.endswith(".off")
         for f in os.listdir(os.path.join(save, "samples"))
     )
+
+    # gen + eval modes drive the BATCHED lockstep MISE extraction
+    # (generate_meshes_batched); eval's 3 meshes with mesh_batch=2
+    # exercises the padded last group
+    cfg["data"]["mode"] = "gen"
+    main(["--exp", "ldm", "--configs", _write(tmp_path, cfg, "occ_gen.yaml")])
+    assert os.path.exists(os.path.join(save, "generation", "mesh_0.off"))
+
+    cfg["data"]["mode"] = "eval"
+    cfg["data"]["extra"] = {"eval_samples": 3, "mesh_batch": 2}
+    main(["--exp", "ldm", "--configs", _write(tmp_path, cfg, "occ_ev.yaml")])
+    # evaluate() completed through the batched extractor (3 meshes,
+    # group 2 -> padded last group).  A 1-epoch random-ish model usually
+    # yields EMPTY meshes, so MMD/COV keys are data-dependent — the metric
+    # math itself is covered by tests/test_mesh_generation; extraction
+    # parity by tests/test_batched_meshgen.
+    results = json.load(open(os.path.join(save, "eval.json")))
+    assert isinstance(results, dict)
