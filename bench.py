@@ -80,7 +80,12 @@ def _bf16(tree):
 
 
 def main():
-    cfg = load_config("configs/ldm/celebahq.yaml")
+    # DDMI_BENCH_CONFIG: A/B alternative architectures (e.g. the measured
+    # from-scratch TPU config configs/ldm/celebahq_tpu.yaml with
+    # num_head_channels=128).  Non-default configs are labeled in the metric
+    # name; the headline/protocol default stays the 1:1 reference port.
+    cfg_path = os.environ.get("DDMI_BENCH_CONFIG", "configs/ldm/celebahq.yaml")
+    cfg = load_config(cfg_path)
     # NFE=100 per the bench protocol (config ships 50)
     object.__setattr__(cfg.model.ddpmconfig, "sampling_timesteps", NFE)
     # Opt-in A/B: DDMI_ENCODER_REUSE=k measures the turbo sampler
@@ -127,7 +132,9 @@ def main():
             {
                 "metric": f"samples/sec/chip, {RESOLUTION}^2 image gen, NFE={NFE}"
                 + (f", encoder_reuse={reuse} (turbo, non-protocol)" if reuse > 1 else "")
-                + (f", batch={BATCH} (non-protocol)" if BATCH != 8 else ""),
+                + (f", batch={BATCH} (non-protocol)" if BATCH != 8 else "")
+                + (f", config={cfg_path} (non-protocol)"
+                   if cfg_path != "configs/ldm/celebahq.yaml" else ""),
                 "value": round(samples_per_sec_per_chip, 4),
                 "unit": "samples/sec/chip",
                 "batch": BATCH,
