@@ -312,9 +312,10 @@ class SamplerService:
         rng = jax.random.PRNGKey(take[0].seed)
         out = np.asarray(self._sample(rng, noise))
         if self.domain == "occupancy":
-            # out = latents (batch, r, r, C); extract meshes on the host
-            # for the `count` real samples only (padding slots skipped)
-            meshes = [self._extract_mesh(out[i : i + 1]) for i in range(count)]
+            # out = latents (batch, r, r, C); extract meshes for the `count`
+            # real samples (padding slots dropped after the lockstep run —
+            # the batched extractor wants the compiled group shape anyway)
+            meshes = self._extract_meshes(out)[:count]
             ofs = 0
             for r in take:
                 r.result = meshes[ofs : ofs + r.n]
@@ -328,15 +329,40 @@ class SamplerService:
             ofs += r.n
             r.event.set()
 
-    def _extract_mesh(self, z1: np.ndarray):
-        """One latent (1, r, r, C) -> (verts (v,3), faces (f,3)) via the
-        shared MISE + iso-surface path (convocc generation.py equivalent)."""
-        from ddmi_tpu.geometry.generation import MeshGenerator
+    def _extract_meshes(self, z: np.ndarray):
+        """Latents (g, r, r, C) -> [(verts, faces), ...] via BATCHED
+        lockstep MISE (geometry/generation.py::generate_meshes_batched):
+        all g octrees share one device evaluation per round.  Gradient
+        refinement (generation.refinement_step) stays per-mesh — it needs a
+        differentiable per-mesh closure."""
+        from ddmi_tpu.geometry.generation import (
+            generate_meshes_batched,
+            refine_mesh,
+        )
 
-        pyr = self._decode_pyr(jnp.asarray(z1))
-        return MeshGenerator(
-            lambda pts: self._eval_pts(pyr, pts), **self._gen_kwargs
-        ).generate()
+        gk = dict(self._gen_kwargs)
+        refine_steps = int(gk.pop("refinement_step", 0) or 0)
+        zj = jnp.asarray(z)
+        pyr = self._decode_pyr(zj)
+        meshes = generate_meshes_batched(
+            lambda pts: self._eval_pts(pyr, jnp.asarray(pts)),
+            z.shape[0], **gk,
+        )
+        if refine_steps > 0:
+            for i, (verts, tris) in enumerate(meshes):
+                if not len(tris):
+                    continue
+                pyr_i = jax.tree_util.tree_map(
+                    lambda a: a[i : i + 1], pyr
+                )
+                verts = refine_mesh(
+                    verts, tris,
+                    lambda pts: self._eval_pts(pyr_i, pts),
+                    threshold=gk.get("threshold", 0.2),
+                    steps=refine_steps,
+                )
+                meshes[i] = (verts, tris)
+        return meshes
 
 
 # ------------------------------------------------------------------- HTTP
