@@ -60,7 +60,33 @@ def main():
 
     s1 = pipe.init_stage1_params(jax.random.PRNGKey(0))
     s2 = pipe.init_stage2_params(jax.random.PRNGKey(1))
-    ldm = {"unet": _bf16(s2["unet"]), "mixing_logit": s2["mixing_logit"]}
+
+    # Two proxy fixes, both needed for drift to be measurable at all
+    # (measured: without them exact and turbo samples are BIT-IDENTICAL
+    # at every K — the only nonzero rows were 1-ULP bf16 render
+    # nondeterminism):
+    #   1. The ADM UNet zero-inits conv_out + every ResBlock/attn output
+    #      projection (nn/unet.py:80,138,343), so at init the denoiser is
+    #      EXACTLY the zero function and encoder features cannot affect
+    #      the output.  Perturb all params with small gaussian noise to
+    #      make it a nontrivial random function.
+    #   2. mixed-prediction blend: out = c*model + (1-c)*sqrt(1-abar)*x_t
+    #      with c = sigmoid(mixing_logit).  At the INIT value (-6) the
+    #      model contributes 0.25%; trained models learn a model-dominant
+    #      blend, so force +6 (c = 99.75%) — the worst case for drift,
+    #      hence an upper-bound-flavored proxy.
+    def _perturb(tree, key, scale=0.05):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(treedef, [
+            l + scale * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ])
+
+    ldm = {
+        "unet": _bf16(_perturb(s2["unet"], jax.random.PRNGKey(99))),
+        "mixing_logit": jnp.full_like(s2["mixing_logit"], 6.0),
+    }
     s1p = _bf16(s1)
     jax.block_until_ready((ldm, s1p))
     del s1, s2
