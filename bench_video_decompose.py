@@ -40,13 +40,18 @@ def _bf16(tree):
     )
 
 
+def _readback(out):
+    # outputs may be pytrees (the decoder returns a multi-res HDBF pyramid)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.reshape(-1)[0].astype(jnp.float32))
+
+
 def _time(fn, args, iters):
-    out = fn(*args)
-    float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
+    _readback(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
+    _readback(out)
     return (time.perf_counter() - t0) / iters
 
 
