@@ -47,12 +47,19 @@ def _readback(out):
 
 
 def _time(fn, args, iters):
-    _readback(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _readback(out)
-    return (time.perf_counter() - t0) / iters
+    # trace/compile under inference_mode, matching sample_videos (the
+    # production program wraps scan+decode+render in one no-grad trace,
+    # domains/video.py::sample_videos) — the Pallas attention tiers are
+    # trace-time gated
+    from ddmi_tpu.ops.pallas import attention as vmem_attn
+
+    with vmem_attn.inference_mode():
+        _readback(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _readback(out)
+        return (time.perf_counter() - t0) / iters
 
 
 def main():

@@ -397,7 +397,22 @@ class VideoPipeline:
     def sample_videos(self, ldm_params, stage1_params, rng, batch: int,
                       noise=None):
         """DDIM over latent tokens + triplane decode + voxel INR render, one
-        jittable program (tools/ldm/video.py eval path)."""
+        jittable program (tools/ldm/video.py eval path).
+
+        The WHOLE program is a no-grad sampling trace, so it runs under
+        inference_mode — the decoder's 73k/20k-token AttnBlock1DExpand
+        cross-plane attentions (36% of generation time, BASELINE.md video
+        decomposition) route through the Pallas flash tier, not just the
+        DDIM scan's attentions (which ddim_sample_unet gates internally)."""
+        from ddmi_tpu.ops.pallas import attention as vmem_attn
+
+        with vmem_attn.inference_mode():
+            return self._sample_videos_body(
+                ldm_params, stage1_params, rng, batch, noise
+            )
+
+    def _sample_videos_body(self, ldm_params, stage1_params, rng, batch,
+                            noise):
         m = self.cfg.model
         shape = (batch, self.n_latent_tokens, m.ddpmconfig.channels)
         z = ddim_sample_unet(

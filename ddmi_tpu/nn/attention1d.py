@@ -14,6 +14,50 @@ import jax
 import jax.numpy as jnp
 
 from ddmi_tpu.ops.mea import attention
+from ddmi_tpu.ops.pallas import attention as vmem_attn
+
+
+def tiered_attention(q, k, v):
+    """Attention over (B, nh, n, hd) with the same inference-gated Pallas
+    tiers as the image UNet's AttentionBlock (nn/unet.py:115-195): the
+    single-pass VMEM kernel when the shape fits (n <= 1024), the TPU flash
+    kernel for long sequences, and the chunked online-softmax MEA path
+    otherwise (also the training path — both kernels are sampling-only
+    here, matching unet.py's dispatch).
+
+    Measured motivation: the video DDIM scan is 63% of generation time and
+    its cross-plane attentions ran dense-XLA (BASELINE.md video
+    decomposition, bench_video_decompose.py)."""
+    n, hd = q.shape[-2], q.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and vmem_attn.is_inference() and vmem_attn.supported(n, hd):
+        return vmem_attn.mha_vmem(q, k, v, hd**-0.5)
+    from ddmi_tpu.nn.unet import FLASH_BLOCK, FLASH_MIN_TOKENS
+
+    blk = min(n, FLASH_BLOCK)
+    if (
+        on_tpu
+        and vmem_attn.is_inference()
+        and n >= FLASH_MIN_TOKENS
+        and n % blk == 0
+        # hd < 128 underuses MXU lanes but flash still wins by never
+        # materializing the n^2 fp32 scores in HBM (0.5 GB per ds1
+        # cross-plane call at n=2048)
+        and hd in (16, 32, 64, 128)
+    ):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
+        return flash_attention(q, k, v, sm_scale=hd**-0.5, block_sizes=bs)
+    return attention(q, k, v)
 
 
 class GroupNormTokens(nn.Module):
@@ -40,7 +84,7 @@ class AttnBlock1D(nn.Module):
         q = nn.Dense(C, name="q")(h).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         k = nn.Dense(C, name="k")(h).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
         v = nn.Dense(C, name="v")(h).reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
-        out = attention(q, k, v)
+        out = tiered_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return x + nn.Dense(C, name="proj_out")(out)
 
@@ -61,6 +105,6 @@ class AttnBlock1DExpand(nn.Module):
         q = nn.Dense(C * nh, name="q")(h).reshape(B, N, nh, C).transpose(0, 2, 1, 3)
         k = nn.Dense(C * nh, name="k")(h).reshape(B, N, nh, C).transpose(0, 2, 1, 3)
         v = nn.Dense(C * nh, name="v")(h).reshape(B, N, nh, C).transpose(0, 2, 1, 3)
-        out = attention(q, k, v)
+        out = tiered_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C * nh)
         return x + nn.Dense(C, name="proj_out")(out)

@@ -112,3 +112,45 @@ def test_sampler_traces_under_inference_mode():
     assert out.shape == (2, 8, 8, 4)
     assert bool(jnp.isfinite(out).all())
     assert not is_inference()
+
+
+@pytest.mark.parametrize(
+    "B,nh,n,hd",
+    [
+        (2, 16, 512, 32),   # skytimelapse TriplaneUNet xattn ds2
+        (2, 16, 128, 64),   # xattn ds4
+        (2, 16, 32, 96),    # xattn ds8 (hd=96: lane-padded)
+    ],
+)
+def test_vmem_kernel_video_xattn_shapes(B, nh, n, hd):
+    """The cross-plane AttnBlock1D tiers (nn/attention1d.py::tiered_attention)
+    route these shapes to the VMEM kernel at sampling time; parity in
+    interpret mode."""
+    assert supported(n, hd)
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (B, nh, n, hd), jnp.float32)
+        for i in range(3)
+    )
+    out = mha_vmem(q, k, v, hd**-0.5, True)
+    ref = _dense_ref(q, k, v, hd**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_tiered_attention_cpu_matches_mea():
+    """On CPU (no Pallas tiers) tiered_attention must be exactly the MEA
+    path — the tier gates only ever swap in parity-tested kernels."""
+    from ddmi_tpu.nn.attention1d import tiered_attention
+    from ddmi_tpu.ops.mea import attention
+
+    for B, nh, n, hd in [(2, 16, 2048, 16), (1, 8, 640, 64)]:
+        q, k, v = (
+            jax.random.normal(
+                jax.random.PRNGKey(i), (B, nh, n, hd), jnp.float32
+            )
+            for i in range(3)
+        )
+        with inference_mode():
+            out = tiered_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(attention(q, k, v)), atol=1e-5
+        )
