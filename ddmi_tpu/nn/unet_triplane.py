@@ -43,6 +43,34 @@ def cat_tokens(planes):
     return jnp.concatenate([p.reshape(b, -1, c) for p in planes], axis=1)
 
 
+def plane_map(fn, planes, emb=None):
+    """Apply a shared-weight module to each plane, batching the two time
+    planes into ONE call when their shapes match (always true for the
+    shipped configs: plane_sizes (s1,s2),(s3,s1),(s3,s2) with s1==s2, e.g.
+    sky 32/32/16 -> xt and yt are both (16,32)).
+
+    TPU-first motivation: at sampling batch 2 the per-plane convs/norms are
+    tiny (2x16x32 rows), so the scan is launch/occupancy-bound — batching
+    xt||yt along the batch axis cuts per-plane op instances 3->2 and doubles
+    the rows the MXU sees per call.  Mathematically identical per sample
+    (conv/GN/attention are batch-parallel); weights stay shared because the
+    same module instance is applied (reference shares weights across planes,
+    openaimodel.py:796-1221)."""
+    xy, xt, yt = planes
+    if xt.shape == yt.shape:
+        st = jnp.concatenate([xt, yt], axis=0)
+        if emb is not None:
+            emb2 = jnp.concatenate([emb, emb], axis=0)
+            o_xy, o_st = fn(xy, emb), fn(st, emb2)
+        else:
+            o_xy, o_st = fn(xy), fn(st)
+        b = xt.shape[0]
+        return [o_xy, o_st[:b], o_st[b:]]
+    if emb is not None:
+        return [fn(p, emb) for p in planes]
+    return [fn(p) for p in planes]
+
+
 class TriplaneUNet(nn.Module):
     """x: (b, n, c_in) token sequence [xy|xt|yt]; t: (b,) -> (b, n, c_out).
 
@@ -83,7 +111,7 @@ class TriplaneUNet(nn.Module):
             conv_in = nn.Conv(
                 mc, (3, 3), padding=1, dtype=self.dtype, name="conv_in"
             )
-            planes = [conv_in(p) for p in planes]
+            planes = plane_map(conv_in, planes)
             skips = [planes]
             ds = 1
 
@@ -93,20 +121,21 @@ class TriplaneUNet(nn.Module):
                         mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
                         name=f"down_{i_level}_{i_block}",
                     )
-                    planes = [
-                        blk(p, emb, deterministic=deterministic) for p in planes
-                    ]
+                    planes = plane_map(
+                        lambda p, e: blk(p, e, deterministic=deterministic),
+                        planes, emb,
+                    )
                     if ds in c.attention_resolutions:
                         attn = AttentionBlock(
                             _num_heads(planes[0].shape[-1], c), self.dtype,
                             name=f"down_attn_{i_level}_{i_block}",
                         )
-                        planes = [attn(p) for p in planes]
+                        planes = plane_map(attn, planes)
                     planes = xattn(planes, f"down_xattn_{i_level}_{i_block}")
                     skips.append(planes)
                 if i_level != len(c.channel_mult) - 1:
                     down = Downsample(self.dtype, name=f"downsample_{i_level}")
-                    planes = [down(p) for p in planes]
+                    planes = plane_map(down, planes)
                     planes = xattn(planes, f"down_xattn_ds_{i_level}")
                     skips.append(planes)
                     ds *= 2
@@ -118,11 +147,11 @@ class TriplaneUNet(nn.Module):
         mid_attn = AttentionBlock(_num_heads(ch, c), self.dtype, name="mid_attn")
         mid2 = ResBlock(ch, c.dropout, c.use_scale_shift_norm, self.dtype,
                         name="mid_block2")
-        planes = [
-            mid2(mid_attn(mid1(p, emb, deterministic=deterministic)), emb,
-                 deterministic=deterministic)
-            for p in planes
-        ]
+        planes = plane_map(
+            lambda p, e: mid2(mid_attn(mid1(p, e, deterministic=deterministic)),
+                              e, deterministic=deterministic),
+            planes, emb,
+        )
         planes = xattn(planes, "mid_xattn")
 
         for i_level, mult in reversed(list(enumerate(c.channel_mult))):
@@ -136,20 +165,23 @@ class TriplaneUNet(nn.Module):
                     mult * mc, c.dropout, c.use_scale_shift_norm, self.dtype,
                     name=f"up_{i_level}_{i_block}",
                 )
-                planes = [blk(p, emb, deterministic=deterministic) for p in planes]
+                planes = plane_map(
+                    lambda p, e: blk(p, e, deterministic=deterministic),
+                    planes, emb,
+                )
                 if ds in c.attention_resolutions:
                     attn = AttentionBlock(
                         _num_heads(planes[0].shape[-1], c), self.dtype,
                         name=f"up_attn_{i_level}_{i_block}",
                     )
-                    planes = [attn(p) for p in planes]
+                    planes = plane_map(attn, planes)
                 if i_level != 0 and i_block == c.num_res_blocks:
                     # the reference puts the Upsample INSIDE the level's last
                     # output block (openaimodel.py:1064-1079), so the
                     # cross-plane attention that follows each block
                     # (output_attns, :1189-1209) runs on the UPSAMPLED planes
                     up = Upsample(self.dtype, name=f"upsample_{i_level}")
-                    planes = [up(p) for p in planes]
+                    planes = plane_map(up, planes)
                     ds //= 2
                 planes = xattn(planes, f"up_xattn_{i_level}_{i_block}")
         assert not skips
@@ -159,9 +191,9 @@ class TriplaneUNet(nn.Module):
             c.out_channels, (3, 3), padding=1,
             kernel_init=nn.initializers.zeros, name="conv_out",
         )
-        planes = [
-            conv_out(jax.nn.silu(norm(p)).astype(jnp.float32)) for p in planes
-        ]
+        planes = plane_map(
+            lambda p: conv_out(jax.nn.silu(norm(p)).astype(jnp.float32)), planes
+        )
         out = cat_tokens(planes)
         if return_cache:
             return out, out_cache

@@ -50,6 +50,17 @@ def _cat_planes(xy, xt, yt):
     )
 
 
+def _tmap(fn, yt, xt):
+    """Apply a shared-weight module to the two time planes as ONE
+    batch-stacked call (same rationale as unet_triplane.plane_map: yt/xt
+    are identically shaped (b,t,r,c), so stacking halves the per-plane op
+    instances and doubles the rows per call; per-sample math unchanged)."""
+    st = jnp.concatenate([yt, xt], axis=0)
+    out = fn(st)
+    b = yt.shape[0]
+    return out[:b], out[b:]
+
+
 def _split_planes(h, xy_shape, xt_shape, yt_shape):
     b, c = h.shape[0], h.shape[-1]
     n1 = xy_shape[0] * xy_shape[1]
@@ -81,7 +92,8 @@ class VideoDecoder(nn.Module):
 
         block_in = c.ch * c.ch_mult[num_res - 1]
         conv_in = nn.Conv(block_in, (3, 3), padding=1, name="conv_in")
-        xy, yt, xt = conv_in(xy), conv_in(yt), conv_in(xt)
+        xy = conv_in(xy)
+        yt, xt = _tmap(conv_in, yt, xt)
 
         mid1 = ResnetBlock(block_in, c.dropout, name="mid_block1")
         mid_attn2d = _make_attn(block_in, c.attn_type)
@@ -93,7 +105,8 @@ class VideoDecoder(nn.Module):
                 h = mid_attn2d(h)
             return mid2(h, deterministic=deterministic)
 
-        xy, yt, xt = mid(xy), mid(yt), mid(xt)
+        xy = mid(xy)
+        yt, xt = _tmap(mid, yt, xt)
 
         # cross-plane attention at the bottleneck (expand variant, :997)
         h = AttnBlock1DExpand(name="mid_inter_attn")(_cat_planes(xy, xt, yt))
@@ -110,11 +123,13 @@ class VideoDecoder(nn.Module):
                     block_out, c.dropout, name=f"up_{i_level}_{i_block}"
                 )
                 xy = blk(xy, deterministic=deterministic)
-                yt = blk(yt, deterministic=deterministic)
-                xt = blk(xt, deterministic=deterministic)
+                yt, xt = _tmap(
+                    lambda p: blk(p, deterministic=deterministic), yt, xt
+                )
                 if curr_res in c.attn_resolutions:
                     attn = _make_attn(block_out, c.attn_type)
-                    xy, yt, xt = attn(xy), attn(yt), attn(xt)
+                    xy = attn(xy)
+                    yt, xt = _tmap(attn, yt, xt)
 
             if curr_res in c.inter_attn_resolutions:
                 inter = AttnBlock1DExpand(name=f"inter_attn_{i_level}")
@@ -126,21 +141,20 @@ class VideoDecoder(nn.Module):
             if curr_res in c.hdbf_resolutions:
                 tap = nn.Conv(c.out_ch, (1, 1), name=f"hdbf_{curr_res}")
                 hdbf_xy.append(tap(xy))
-                hdbf_yt.append(tap(yt))
-                hdbf_xt.append(tap(xt))
+                t_yt, t_xt = _tmap(tap, yt, xt)
+                hdbf_yt.append(t_yt)
+                hdbf_xt.append(t_xt)
 
             if i_level != 0:
                 up = SharedUpsample(name=f"upsample_{i_level}")
                 xy = up(xy, (2, 2))
-                yt = up(yt, (1, 2))  # t axis fixed
-                xt = up(xt, (1, 2))
+                yt, xt = _tmap(lambda p: up(p, (1, 2)), yt, xt)  # t axis fixed
                 curr_res *= 2
 
         norm = Norm(name="norm_out")
         conv_out = nn.Conv(c.out_ch, (3, 3), padding=1, name="conv_out")
         xy = conv_out(nonlinearity(norm(xy)))
-        yt = conv_out(nonlinearity(norm(yt)))
-        xt = conv_out(nonlinearity(norm(xt)))
+        yt, xt = _tmap(lambda p: conv_out(nonlinearity(norm(p))), yt, xt)
         hdbf_xy.append(xy)
         hdbf_yt.append(yt)
         hdbf_xt.append(xt)
