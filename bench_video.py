@@ -29,7 +29,10 @@ from ddmi_tpu.core.config import load_config
 from ddmi_tpu.domains.video import VideoPipeline
 
 NFE = 200  # reference FVD protocol (configs/ldm/skytimelapse.yaml:73)
-BATCH = 2
+# DDMI_VIDEO_BATCH: A/B the sampling batch.  2 is the record batch every
+# round-2/3 number was measured at; other batches are labeled non-protocol
+# in the JSON (same comparability rule as bench.py's DDMI_BENCH_BATCH).
+BATCH = int(os.environ.get("DDMI_VIDEO_BATCH", "2"))
 FRAMES = 16
 
 
@@ -75,7 +78,8 @@ def main():
             {
                 "metric": f"videos/sec/chip, {FRAMES}f 256^2 gen, NFE={NFE}"
                 + (f", encoder_reuse={reuse} (turbo, non-protocol)"
-                   if reuse > 1 else ""),
+                   if reuse > 1 else "")
+                + (f", batch={BATCH} (non-protocol)" if BATCH != 2 else ""),
                 "value": round(videos_per_sec, 4),
                 "unit": "videos/sec/chip",
                 "frames_per_sec": round(videos_per_sec * FRAMES, 2),
