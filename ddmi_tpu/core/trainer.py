@@ -408,13 +408,18 @@ class Trainer:
                 )),
                 n, **gk,
             )
+            # stable across the mesh loop: refine_mesh memoizes its compiled
+            # scan on this callable; per-mesh pyramids ride in via ctx
+            refine_fn = lambda pts, params, pyr_i: (
+                self.pipe.logits_from_pyramids(params, pts, pyr_i)
+            )
             for i, (verts, tris) in enumerate(meshes):
                 if refine_steps > 0 and len(tris):
+                    pyr_i = jax.tree_util.tree_map(
+                        lambda a: a[i : i + 1], pyr
+                    )
                     verts = refine_mesh(
-                        verts, tris,
-                        jax.jit(self.pipe.decode_logits_fn(
-                            s1.params, z[i : i + 1]
-                        )),
+                        verts, tris, refine_fn, ctx=(s1.params, pyr_i),
                         threshold=gk.get("threshold", 0.2),
                         steps=refine_steps,
                     )
@@ -656,6 +661,11 @@ class Trainer:
                     )
                 )
                 decode = jax.jit(self.pipe.decode_pyramids)
+                # stable across all meshes: refine_mesh memoizes its
+                # compiled scan on this callable (per-mesh pyramids via ctx)
+                refine_fn = lambda pts, params, pyr_j: (
+                    self.pipe.logits_from_pyramids(params, pts, pyr_j)
+                )
                 gen_pts = []
                 for g0 in range(0, k, group):
                     zg = z[g0 : g0 + group]
@@ -672,11 +682,12 @@ class Trainer:
                         if not len(tris):
                             continue
                         if refine_steps > 0:
+                            pyr_j = jax.tree_util.tree_map(
+                                lambda a: a[j : j + 1], pyr
+                            )
                             verts = refine_mesh(
-                                verts, tris,
-                                jax.jit(self.pipe.decode_logits_fn(
-                                    s1.params, zg[j : j + 1]
-                                )),
+                                verts, tris, refine_fn,
+                                ctx=(s1.params, pyr_j),
                                 threshold=gk.get("threshold", 0.2),
                                 steps=refine_steps,
                             )
@@ -719,6 +730,9 @@ class Trainer:
             verdict = "PASS" if passed else "FAIL"
             print(f"quality gates: {verdict}")
             for name, d in detail.items():
+                if d["value"] is None:
+                    print(f"  {name}: FAIL — {d['reason']}")
+                    continue
                 print(
                     f"  {name}: {d['value']:.6g} vs published "
                     f"{d['published']:.6g} (±{d['tol_pct']}%, "

@@ -32,9 +32,13 @@ def check_gates(
     results: Mapping[str, float], gates: Mapping[str, Any]
 ) -> Tuple[bool, Dict[str, Dict[str, Any]]]:
     """Returns (all_passed, per-metric detail).  Raises ValueError on a gate
-    whose published value is missing/None (the config ships placeholders —
-    they must be filled from arXiv:2401.12517 before gating means anything)
-    or whose metric was not produced by the eval run."""
+    whose published value is missing/None (a config error: the config ships
+    placeholders — they must be filled from arXiv:2401.12517 before gating
+    means anything) or whose `direction` is not 'min'/'max' (a typo would
+    otherwise silently invert pass/fail).  A gated metric ABSENT from the
+    eval results (e.g. occupancy MMD/COV legitimately skipped when no
+    meshes were generated) is a FAILING gate, not an exception — the caller
+    still gets its (False, detail) verdict and can write eval.json."""
     detail: Dict[str, Dict[str, Any]] = {}
     ok = True
     for name, spec in gates.items():
@@ -47,15 +51,31 @@ def check_gates(
                 "it from the DDMI paper (arXiv:2401.12517) into the config; "
                 "this build environment cannot fetch it (zero egress)"
             )
-        if name not in results:
-            raise ValueError(
-                f"quality gate '{name}' not in eval results "
-                f"{sorted(results)} — wrong domain config?"
-            )
         tol = float(spec.get("tol_pct", 2.0)) / 100.0
         direction = spec.get(
             "direction", "max" if name in _MAX_METRICS else "min"
         )
+        if direction not in ("min", "max"):
+            raise ValueError(
+                f"quality gate '{name}': direction must be 'min' or 'max', "
+                f"got {direction!r}"
+            )
+        if name not in results:
+            detail[name] = {
+                "value": None,
+                "published": float(published),
+                "tol_pct": tol * 100.0,
+                "direction": direction,
+                "bound": None,
+                "passed": False,
+                "reason": (
+                    "metric absent from eval results "
+                    f"{sorted(results)} — the eval skipped it (e.g. no "
+                    "generated meshes) or the domain config is wrong"
+                ),
+            }
+            ok = False
+            continue
         value = float(results[name])
         published = float(published)
         if direction == "max":

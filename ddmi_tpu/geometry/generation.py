@@ -13,7 +13,8 @@ with the corresponding 0.5/1.0 vertex shifts (:160-168)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+import functools
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -26,58 +27,22 @@ def _bucket(n: int, quantum: int = 4096) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def refine_mesh(
-    verts: np.ndarray,
-    tris: np.ndarray,
-    logits_fn,
-    *,
-    threshold: float = 0.2,
-    steps: int = 30,
-    lr: float = 1e-4,
-    normal_weight: float = 0.01,
-    seed: int = 0,
-) -> np.ndarray:
-    """Gradient-based vertex refinement (convocc/src/conv_onet/
-    generation.py:256-318 refine_mesh), reformulated TPU-first.
-
-    Per step (reference semantics): sample one Dirichlet(0.5,0.5,0.5) point
-    per face, pull its occupancy probability toward `threshold` (the
-    iso-level) and align each face normal with the negative occupancy
-    gradient; optimize vertices with RMSprop(lr=1e-4).
-
-    TPU-first shape: the reference's Python optimizer loop (one
-    autograd.grad + RMSprop step per iteration, host-driven) becomes ONE
-    jitted `lax.scan` over a fixed step count — Dirichlet sampling via
-    jax.random inside the scan, the occupancy gradient via `jax.grad` of
-    the (differentiable) decode closure, second-order terms handled by
-    composing grads exactly like the reference's create_graph=True.
-    Vertices/faces are padded to shape buckets with masked dummy faces so
-    arbitrary meshes reuse a bounded set of compiled programs.
-
-    logits_fn: differentiable (b=1, n, 3) -> (1, n) occupancy logits — the
-    same closure MeshGenerator evaluates (decode_logits_fn).
-    """
+@functools.lru_cache(maxsize=16)
+def _refine_runner(logits_fn, steps: int, lr: float):
+    """One jitted refinement scan per (logits_fn, steps, lr) — module-level
+    memoized so every mesh of a 5000-mesh protocol run reuses the SAME
+    compiled program (per shape bucket).  threshold / normal_weight / denom
+    and the logits context (decoded pyramids, params) are jit ARGUMENTS, not
+    closure constants, so per-mesh data never forces a retrace."""
     import jax
     import jax.numpy as jnp
     import optax
-
-    nv, nf = len(verts), len(tris)
-    if nv == 0 or nf == 0 or steps <= 0:
-        return verts
-    pv, pf = _bucket(nv), _bucket(nf)
-    v0 = np.zeros((pv, 3), np.float32)
-    v0[:nv] = verts
-    f = np.zeros((pf, 3), np.int32)
-    f[:nf] = tris
-    mask = np.zeros((pf,), np.float32)
-    mask[:nf] = 1.0
-    denom = float(nf)
 
     # torch.optim.RMSprop defaults (alpha=0.99, eps=1e-8), reference :281
     opt = optax.rmsprop(lr, decay=0.99, eps=1e-8)
 
     @jax.jit
-    def run(v0, faces, mask, rng):
+    def run(v0, faces, mask, rng, ctx, threshold, normal_weight, denom):
         def step(carry, _):
             v, opt_state, rng = carry
             rng, k = jax.random.split(rng)
@@ -97,7 +62,9 @@ def refine_mesh(
                 fn = fn / jnp.sqrt(
                     (fn**2).sum(axis=1, keepdims=True) + 1e-20
                 )
-                prob = lambda p: jax.nn.sigmoid(logits_fn(p[None])[0])
+                prob = lambda p: jax.nn.sigmoid(
+                    logits_fn(p[None], *ctx)[0]
+                )
                 face_value = prob(fp)  # (F,)
                 grad_p = jax.grad(lambda p: prob(p).sum())(fp)  # (F, 3)
                 nt = -grad_p
@@ -120,9 +87,66 @@ def refine_mesh(
         (v, _, _), _ = jax.lax.scan(step, init, None, length=steps)
         return v
 
+    return run
+
+
+def refine_mesh(
+    verts: np.ndarray,
+    tris: np.ndarray,
+    logits_fn,
+    *,
+    ctx: tuple = (),
+    threshold: float = 0.2,
+    steps: int = 30,
+    lr: float = 1e-4,
+    normal_weight: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """Gradient-based vertex refinement (convocc/src/conv_onet/
+    generation.py:256-318 refine_mesh), reformulated TPU-first.
+
+    Per step (reference semantics): sample one Dirichlet(0.5,0.5,0.5) point
+    per face, pull its occupancy probability toward `threshold` (the
+    iso-level) and align each face normal with the negative occupancy
+    gradient; optimize vertices with RMSprop(lr=1e-4).
+
+    TPU-first shape: the reference's Python optimizer loop (one
+    autograd.grad + RMSprop step per iteration, host-driven) becomes ONE
+    jitted `lax.scan` over a fixed step count — Dirichlet sampling via
+    jax.random inside the scan, the occupancy gradient via `jax.grad` of
+    the (differentiable) decode closure, second-order terms handled by
+    composing grads exactly like the reference's create_graph=True.
+    Vertices/faces are padded to shape buckets with masked dummy faces, and
+    the compiled scan is memoized per (logits_fn, steps, lr) at module
+    scope (`_refine_runner`), so arbitrary meshes reuse a bounded set of
+    compiled programs ACROSS calls — per-mesh data rides in as arguments.
+
+    logits_fn: differentiable (b=1, n, 3), *ctx -> (1, n) occupancy logits.
+    Pass per-mesh state (decoded pyramids, params) via `ctx` — it is fed
+    through jit as arguments — and keep logits_fn itself a STABLE callable
+    (module function / bound method / long-lived lambda); a fresh lambda per
+    mesh compiles per mesh, defeating the cache.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nv, nf = len(verts), len(tris)
+    if nv == 0 or nf == 0 or steps <= 0:
+        return verts
+    pv, pf = _bucket(nv), _bucket(nf)
+    v0 = np.zeros((pv, 3), np.float32)
+    v0[:nv] = verts
+    f = np.zeros((pf, 3), np.int32)
+    f[:nf] = tris
+    mask = np.zeros((pf,), np.float32)
+    mask[:nf] = 1.0
+
+    run = _refine_runner(logits_fn, int(steps), float(lr))
     out = np.asarray(
         run(jnp.asarray(v0), jnp.asarray(f), jnp.asarray(mask),
-            jax.random.PRNGKey(seed))
+            jax.random.PRNGKey(seed), ctx,
+            jnp.float32(threshold), jnp.float32(normal_weight),
+            jnp.float32(nf))
     )
     return out[:nv].astype(verts.dtype, copy=False)
 
@@ -228,11 +252,17 @@ def generate_meshes_batched(
     points_batch_size: int = 100_000,
     simplify_nfaces: Optional[int] = None,
     workers: int = 8,
+    active: Optional[Sequence[bool]] = None,
 ) -> list:
     """Extract `group` meshes CONCURRENTLY: all MISE octrees advance in
     lockstep, their pending query points batched into ONE padded device call
     per round (eval_group_fn: (g, bs, 3) float32 -> (g, bs) logits — compile
     it once with jit and reuse across groups).
+
+    `active[i] = False` marks slot i as padding (serving pads a partial
+    request group to the compiled batch): no octree is built for it and an
+    empty mesh is returned, so a degenerate padding field can never drag the
+    lockstep group toward the dense-grid worst case.
 
     This is the protocol-scale answer to the serial MeshGenerator loop
     (reference runs 5000 meshes one at a time through 100k-point chunks,
@@ -253,6 +283,9 @@ def generate_meshes_batched(
     box_size = 1 + padding
     bs = points_batch_size
     g = group
+    if active is None:
+        active = [True] * g
+    active = list(active)
 
     grids: list = [None] * g
 
@@ -277,18 +310,24 @@ def generate_meshes_batched(
             out = np.asarray(eval_group_fn(batch))
             vals[:, o : o + bs] = out[:, : bs - pad] if pad else out
         for i in range(g):
-            grids[i] = vals[i].reshape(nx, nx, nx)
+            if active[i]:
+                grids[i] = vals[i].reshape(nx, nx, nx)
         denom = nx - 1
     else:
         mises = [
             geometry.MISE(resolution0, upsampling_steps, logit_thr)
-            for _ in range(g)
+            if active[i] else None
+            for i in range(g)
         ]
-        denom = mises[0].res_final
-        # per-mesh pending state: (int points, float64 values, offset)
-        pend = [[m.query(), None, 0] for m in mises]
+        denom = resolution0 * 2 ** upsampling_steps
+        # per-mesh pending state: (int points, float64 values, offset);
+        # inactive (padding) slots are finished before round 1
+        pend = [
+            [m.query(), None, 0] if m is not None else None for m in mises
+        ]
         for st in pend:
-            st[1] = np.empty(len(st[0]), np.float64)
+            if st is not None:
+                st[1] = np.empty(len(st[0]), np.float64)
         pool = ThreadPoolExecutor(max_workers=workers)
 
         def _advance(i):
@@ -329,6 +368,10 @@ def generate_meshes_batched(
         pool.shutdown()
 
     def _extract(grid):
+        if grid is None:  # inactive padding slot
+            return (
+                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+            )
         padded = np.pad(grid, 1, constant_values=-1e6)
         verts, tris = geometry.marching_cubes(padded, logit_thr)
         if len(verts) == 0:

@@ -175,6 +175,9 @@ class SamplerService:
                     s1_params, pts, pyr
                 )
             )
+            # stable (points, pyramids) adapter so refine_mesh's memoized
+            # runner compiles once per server, not once per mesh
+            self._refine_fn = lambda pts, pyr: self._eval_pts(pyr, pts)
             self._gen_kwargs = dict(getattr(pipe, "generation_kwargs", {}))
             if mesh_kwargs:
                 self._gen_kwargs.update(mesh_kwargs)
@@ -313,9 +316,9 @@ class SamplerService:
         out = np.asarray(self._sample(rng, noise))
         if self.domain == "occupancy":
             # out = latents (batch, r, r, C); extract meshes for the `count`
-            # real samples (padding slots dropped after the lockstep run —
-            # the batched extractor wants the compiled group shape anyway)
-            meshes = self._extract_meshes(out)[:count]
+            # real samples (the compiled group shape is fixed, but padding
+            # slots are masked inactive inside the lockstep extractor)
+            meshes = self._extract_meshes(out, count)[:count]
             ofs = 0
             for r in take:
                 r.result = meshes[ofs : ofs + r.n]
@@ -329,12 +332,16 @@ class SamplerService:
             ofs += r.n
             r.event.set()
 
-    def _extract_meshes(self, z: np.ndarray):
+    def _extract_meshes(self, z: np.ndarray, count: int | None = None):
         """Latents (g, r, r, C) -> [(verts, faces), ...] via BATCHED
         lockstep MISE (geometry/generation.py::generate_meshes_batched):
-        all g octrees share one device evaluation per round.  Gradient
-        refinement (generation.refinement_step) stays per-mesh — it needs a
-        differentiable per-mesh closure."""
+        all g octrees share one device evaluation per round.  `count` marks
+        the first `count` slots as real — the zero-noise padding slots that
+        fill the compiled batch are skipped entirely (no octree), so a
+        degenerate padding field can never block the lockstep group.
+        Gradient refinement (generation.refinement_step) stays per-mesh; its
+        compiled scan is shared across meshes (`refine_mesh` memoizes on the
+        stable `self._refine_fn`, per-mesh pyramids ride in via ctx)."""
         from ddmi_tpu.geometry.generation import (
             generate_meshes_batched,
             refine_mesh,
@@ -342,11 +349,13 @@ class SamplerService:
 
         gk = dict(self._gen_kwargs)
         refine_steps = int(gk.pop("refinement_step", 0) or 0)
+        g = z.shape[0]
+        count = g if count is None else count
         zj = jnp.asarray(z)
         pyr = self._decode_pyr(zj)
         meshes = generate_meshes_batched(
             lambda pts: self._eval_pts(pyr, jnp.asarray(pts)),
-            z.shape[0], **gk,
+            g, active=[i < count for i in range(g)], **gk,
         )
         if refine_steps > 0:
             for i, (verts, tris) in enumerate(meshes):
@@ -356,8 +365,7 @@ class SamplerService:
                     lambda a: a[i : i + 1], pyr
                 )
                 verts = refine_mesh(
-                    verts, tris,
-                    lambda pts: self._eval_pts(pyr_i, pts),
+                    verts, tris, self._refine_fn, ctx=(pyr_i,),
                     threshold=gk.get("threshold", 0.2),
                     steps=refine_steps,
                 )

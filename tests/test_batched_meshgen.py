@@ -62,3 +62,42 @@ def test_batched_simplify():
         assert 0 < len(t) <= 150  # quadric target is approximate
         d = np.linalg.norm(v, axis=-1)
         assert abs(float(d.mean()) - (r + 1.386 / 20)) < 0.08
+
+
+def test_inactive_padding_slots_skipped():
+    """Serving pads partial request groups to the compiled batch; inactive
+    slots must produce empty meshes WITHOUT building an octree — a
+    degenerate padding field (here: dense noise, the MISE worst case) must
+    not drag the lockstep group (ADVICE r3)."""
+    calls = {"n": 0}
+    rng = np.random.default_rng(0)
+
+    def group_fn(batch):
+        calls["n"] += 1
+        out = np.stack([_field(batch[i], r) for i, r in enumerate(RADII)])
+        # slot 2 = padding: noise field that would degenerate MISE to dense
+        out[2] = rng.standard_normal(out[2].shape) * 30.0
+        return out
+
+    kw = dict(threshold=0.2, resolution0=16, upsampling_steps=2,
+              points_batch_size=2048)
+    got = generate_meshes_batched(
+        group_fn, len(RADII), active=[True, True, False], **kw
+    )
+    noisy_calls = calls["n"]
+    assert len(got) == len(RADII)
+    assert len(got[2][0]) == 0 and len(got[2][1]) == 0  # empty padding mesh
+    # active slots still match the serial path exactly
+    for i, r in list(enumerate(RADII))[:2]:
+        v2, t2 = _serial(r, **kw)
+        np.testing.assert_allclose(got[i][0], v2)
+        np.testing.assert_array_equal(got[i][1], t2)
+    # and the noise slot added no extra device rounds vs the all-active run
+    calls["n"] = 0
+
+    def counted_clean(batch):
+        calls["n"] += 1
+        return _group_fn(batch)
+
+    generate_meshes_batched(counted_clean, len(RADII), **kw)
+    assert noisy_calls <= calls["n"]

@@ -47,9 +47,23 @@ def test_null_published_is_loud():
         check_gates({"fid": 1.0}, {"fid": {"published": None}})
 
 
-def test_missing_metric_is_loud():
-    with pytest.raises(ValueError, match="not in eval results"):
-        check_gates({"fid": 1.0}, {"fvd": {"published": 100.0}})
+def test_missing_metric_is_failing_gate_not_exception():
+    """A gated metric the eval legitimately skipped (e.g. occupancy MMD/COV
+    with zero generated meshes) must FAIL the gate, not raise — so the
+    caller still writes eval.json with the verdict (ADVICE r3)."""
+    ok, d = check_gates({"fid": 1.0}, {"fvd": {"published": 100.0}})
+    assert not ok
+    assert d["fvd"]["passed"] is False
+    assert "absent" in d["fvd"]["reason"]
+    assert d["fvd"]["value"] is None
+
+
+def test_bad_direction_is_loud():
+    """A direction typo ('lower') must not silently invert gate semantics."""
+    with pytest.raises(ValueError, match="direction"):
+        check_gates(
+            {"fid": 1.0}, {"fid": {"published": 2.0, "direction": "lower"}}
+        )
 
 
 def test_multi_gate_all_must_pass():
