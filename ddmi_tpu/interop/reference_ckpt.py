@@ -163,6 +163,18 @@ def _vae_attn(src: _Source, key: str) -> dict:
     }
 
 
+def _attn_block(src: _Source, key: str, attn_type: str):
+    """(flax module name prefix, params) for one make_attn site
+    (autoencoder_unet.py:546-553).  'linear' = LinAttnBlock
+    (attention.py:80-101): bias-free to_qkv + to_out, no norm."""
+    if attn_type == "linear":
+        return "LinAttnBlock", {
+            "to_qkv": {"kernel": conv_kernel(src.pop(key + ".to_qkv.weight"))},
+            "to_out": _conv(src, key + ".to_out"),
+        }
+    return "AttnBlock", _vae_attn(src, key)
+
+
 def _convert_vae_encoder(src: _Source, cfg: DDConfig) -> dict:
     """Mirror of nn/vae.py Encoder's construction order (reference
     autoencoder_unet.py:608-699)."""
@@ -177,9 +189,10 @@ def _convert_vae_encoder(src: _Source, cfg: DDConfig) -> dict:
             )
             rb += 1
             if curr in cfg.attn_resolutions:
-                out[f"AttnBlock_{ab}"] = _vae_attn(
-                    src, f"down.{i_level}.attn.{i_block}"
+                nm, pr = _attn_block(
+                    src, f"down.{i_level}.attn.{i_block}", cfg.attn_type
                 )
+                out[f"{nm}_{ab}"] = pr
                 ab += 1
         if i_level != n_levels - 1:
             out[f"Downsample_{dsn}"] = {
@@ -190,7 +203,8 @@ def _convert_vae_encoder(src: _Source, cfg: DDConfig) -> dict:
     out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_1")
     rb += 1
     if cfg.attn_type != "none":
-        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        nm, pr = _attn_block(src, "mid.attn_1", cfg.attn_type)
+        out[f"{nm}_{ab}"] = pr
         ab += 1
     out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_2")
     out["Norm_0"] = _gn_nested(src, "norm_out")
@@ -209,7 +223,8 @@ def _convert_vae_decoder(src: _Source, cfg: DDConfig) -> dict:
     out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_1")
     rb += 1
     if cfg.attn_type != "none":
-        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        nm, pr = _attn_block(src, "mid.attn_1", cfg.attn_type)
+        out[f"{nm}_{ab}"] = pr
         ab += 1
     out[f"ResnetBlock_{rb}"] = _vae_resnet(src, "mid.block_2")
     rb += 1
@@ -221,9 +236,10 @@ def _convert_vae_decoder(src: _Source, cfg: DDConfig) -> dict:
             )
             rb += 1
             if curr in cfg.attn_resolutions:
-                out[f"AttnBlock_{ab}"] = _vae_attn(
-                    src, f"up.{i_level}.attn.{i_block}"
+                nm, pr = _attn_block(
+                    src, f"up.{i_level}.attn.{i_block}", cfg.attn_type
                 )
+                out[f"{nm}_{ab}"] = pr
                 ab += 1
         if curr in cfg.hdbf_resolutions:
             out[f"hdbf_{curr}"] = _conv(src, f"up.{i_level}.hdbf.0")
@@ -442,7 +458,8 @@ def _inter_block(src: _Source, key0: str, key_attn: str, key1: str,
     {'block_a', 'AttnBlock_0', 'block_b'} (nn/triplane_vae.py)."""
     out = {"block_a": _vae_resnet(src, key0), "block_b": _vae_resnet(src, key1)}
     if attn_type != "none":
-        out["AttnBlock_0"] = _vae_attn(src, key_attn)
+        nm, pr = _attn_block(src, key_attn, attn_type)
+        out[f"{nm}_0"] = pr
     return out
 
 
@@ -461,9 +478,10 @@ def _convert_triplane_encoder(src: _Source, cfg: DDConfig) -> dict:
                 src, f"down.{i_level}.block.{i_block}"
             )
             if curr in cfg.attn_resolutions:
-                out[f"AttnBlock_{ab}"] = _vae_attn(
-                    src, f"down.{i_level}.attn.{i_block}"
+                nm, pr = _attn_block(
+                    src, f"down.{i_level}.attn.{i_block}", cfg.attn_type
                 )
+                out[f"{nm}_{ab}"] = pr
                 ab += 1
         if curr in cfg.inter_attn_resolutions:
             out[f"inter_{i_level}"] = _inter_block(
@@ -480,7 +498,8 @@ def _convert_triplane_encoder(src: _Source, cfg: DDConfig) -> dict:
             curr //= 2
     out["mid_block1"] = _vae_resnet(src, "mid.block_1")
     if cfg.attn_type != "none":
-        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        nm, pr = _attn_block(src, "mid.attn_1", cfg.attn_type)
+        out[f"{nm}_{ab}"] = pr
         ab += 1
     out["mid_block2"] = _vae_resnet(src, "mid.block_2")
     # mid inter triple: mid.block_3 / top-level mid_attn / mid.block_4
@@ -488,7 +507,8 @@ def _convert_triplane_encoder(src: _Source, cfg: DDConfig) -> dict:
         src, "mid.block_3", "", "mid.block_4", "none"
     )
     if cfg.attn_type != "none":
-        out["mid_inter"]["AttnBlock_0"] = _vae_attn(src, "mid_attn")
+        nm, pr = _attn_block(src, "mid_attn", cfg.attn_type)
+        out["mid_inter"][f"{nm}_0"] = pr
     out["norm_out"] = _gn_nested(src, "norm_out")
     out["conv_out"] = _conv(src, "conv_out")
     return out
@@ -504,14 +524,16 @@ def _convert_triplane_decoder(src: _Source, cfg: DDConfig) -> dict:
     curr = cfg.resolution // 2 ** (n - 1)
     out["mid_block1"] = _vae_resnet(src, "mid.block_1")
     if cfg.attn_type != "none":
-        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        nm, pr = _attn_block(src, "mid.attn_1", cfg.attn_type)
+        out[f"{nm}_{ab}"] = pr
         ab += 1
     out["mid_block2"] = _vae_resnet(src, "mid.block_2")
     out["mid_inter"] = _inter_block(
         src, "mid.block_3", "", "mid.block_4", "none"
     )
     if cfg.attn_type != "none":
-        out["mid_inter"]["AttnBlock_0"] = _vae_attn(src, "mid_attn")
+        nm, pr = _attn_block(src, "mid_attn", cfg.attn_type)
+        out["mid_inter"][f"{nm}_0"] = pr
 
     for i_level in reversed(range(n)):
         for i_block in range(cfg.num_res_blocks + 1):
@@ -519,9 +541,10 @@ def _convert_triplane_decoder(src: _Source, cfg: DDConfig) -> dict:
                 src, f"up.{i_level}.block.{i_block}"
             )
             if curr in cfg.attn_resolutions:
-                out[f"AttnBlock_{ab}"] = _vae_attn(
-                    src, f"up.{i_level}.attn.{i_block}"
+                nm, pr = _attn_block(
+                    src, f"up.{i_level}.attn.{i_block}", cfg.attn_type
                 )
+                out[f"{nm}_{ab}"] = pr
                 ab += 1
         if curr in cfg.inter_attn_resolutions:
             out[f"inter_{i_level}"] = _inter_block(
@@ -811,7 +834,8 @@ def _convert_video_decoder(src: _Source, cfg: DDConfig) -> dict:
     ab = 0
     out["mid_block1"] = _vae_resnet(src, "mid.block_1")
     if cfg.attn_type != "none":
-        out[f"AttnBlock_{ab}"] = _vae_attn(src, "mid.attn_1")
+        nm, pr = _attn_block(src, "mid.attn_1", cfg.attn_type)
+        out[f"{nm}_{ab}"] = pr
         ab += 1
     out["mid_block2"] = _vae_resnet(src, "mid.block_2")
     out["mid_inter_attn"] = _attn1d(src, "mid_attn")
@@ -824,9 +848,10 @@ def _convert_video_decoder(src: _Source, cfg: DDConfig) -> dict:
                 src, f"up.{i_level}.block.{i_block}"
             )
             if curr in cfg.attn_resolutions:
-                out[f"AttnBlock_{ab}"] = _vae_attn(
-                    src, f"up.{i_level}.attn.{i_block}"
+                nm, pr = _attn_block(
+                    src, f"up.{i_level}.attn.{i_block}", cfg.attn_type
                 )
+                out[f"{nm}_{ab}"] = pr
                 ab += 1
         if curr in cfg.inter_attn_resolutions:
             out[f"inter_attn_{i_level}"] = _attn1d(

@@ -77,6 +77,38 @@ class AttnBlock(nn.Module):
         return x + out
 
 
+class LinAttnBlock(nn.Module):
+    """Linear attention over an NHWC plane — the `attn_type: linear` branch
+    of the reference's make_attn (models/d2c_vae/autoencoder_unet.py:546-553
+    -> models/ldm/modules/attention.py:80-101 LinearAttention, wrapped as
+    LinAttnBlock at autoencoder_unet.py:152-155 with heads=1, dim_head=C).
+
+    Reference semantics kept exactly (they differ from AttnBlock on
+    purpose): NO pre-norm, NO residual; k softmaxed over the SPATIAL axis;
+    context = k vᵀ (C×C) then q read out against it — O(n·C²) instead of
+    O(n²·C), linear in sequence length.  to_qkv is bias-free (reference
+    :85); to_out carries a bias.  Softmax and the two contractions run in
+    fp32 for stability, cast back to the input dtype."""
+
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        nh = self.heads
+        hd = C // nh  # dim_head = C at heads=1 (LinAttnBlock wrapper)
+        qkv = nn.Conv(3 * C, (1, 1), use_bias=False, name="to_qkv")(x)
+        # torch layout 'b (qkv heads c) h w': qkv outermost, then heads,
+        # then dim_head — matched here so converted checkpoints line up
+        qkv = qkv.reshape(B, H * W, 3, nh, hd).astype(jnp.float32)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, n, h, d)
+        k = jax.nn.softmax(k, axis=1)  # over spatial positions
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, h, d, d)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)  # (B, n, h, d)
+        out = out.reshape(B, H, W, C).astype(x.dtype)
+        return nn.Conv(C, (1, 1), name="to_out")(out)
+
+
 class Downsample(nn.Module):
     with_conv: bool = True
 
@@ -102,10 +134,14 @@ class Upsample(nn.Module):
 
 
 def _make_attn(ch: int, attn_type: str):
+    """The reference make_attn enum (autoencoder_unet.py:546-553): vanilla /
+    vanilla-multihead / linear / none (None = caller skips the block)."""
     if attn_type in ("vanilla", "none"):
         return AttnBlock(num_heads=1) if attn_type == "vanilla" else None
     if attn_type == "vanilla-multihead":
         return AttnBlock(num_heads=16)
+    if attn_type == "linear":
+        return LinAttnBlock()
     raise NotImplementedError(attn_type)
 
 
