@@ -1,12 +1,20 @@
-"""Training-step throughput at production config shapes, one chip.
+"""Training-step throughput + roofline at production config shapes, one chip.
 
 Times the jitted train step for the cells that fit a single v5e (see
 docs/SCALING.md for the celebahq stage-2 exception): stage-1 image
-(512-multiscale + LPIPS), stage-1+2 video, stage-1+2 occupancy, stage-1+2
-NeRF.  Compiles are served from the persistent cache (the production-matrix
-probes populated it).  Prints one JSON line per cell; host-materializing
-readback timing."""
+(512-source multiscale + LPIPS), stage-1+2 video, stage-1+2 occupancy,
+stage-1+2 NeRF.  For every cell it also pulls XLA `cost_analysis()` off the
+compiled executable and reports TFLOP/step, HBM GB/step, MFU and HBM
+utilisation against the v5e peaks — the same roofline treatment
+BASELINE.md gives sampling (round-3 VERDICT item 1).
 
+Knobs:
+  DDMI_BENCH_CELLS=image-s1,video-s1   run a subset
+  DDMI_BENCH_DECOMPOSE=1               image-s1 ablation: full / no-lpips /
+                                       no-multiscale / no-snreg / fwd-only
+Prints one JSON line per cell; host-materializing readback timing."""
+
+import dataclasses
 import json
 import os
 import time
@@ -24,6 +32,7 @@ from ddmi_tpu.core.config import load_config
 
 CELLS = [
     ("d2c-vae", "configs/d2c-vae/celebahq.yaml", "image-s1"),
+    ("d2c-vae", "configs/d2c-vae/skytimelapse.yaml", "video-s1"),
     ("ldm", "configs/ldm/skytimelapse.yaml", "video-s2"),
     ("d2c-vae", "configs/d2c-vae/shapenet.yaml", "occupancy-s1"),
     ("ldm", "configs/ldm/shapenet.yaml", "occupancy-s2"),
@@ -33,54 +42,151 @@ CELLS = [
 
 ITERS = 10
 
+# v5e single-chip peaks (public spec: 197 bf16 TFLOPS, 819 GB/s HBM).
+PEAK_FLOPS = float(os.environ.get("DDMI_PEAK_TFLOPS", "197")) * 1e12
+PEAK_HBM = float(os.environ.get("DDMI_PEAK_HBM_GBS", "819")) * 1e9
 
-def bench(exp, path, name):
+
+def _cost(compiled):
+    """flops / bytes from XLA cost analysis (dict on new JAX, list on old)."""
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None, None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    if not ca:
+        return None, None
+    return ca.get("flops"), ca.get("bytes accessed")
+
+
+def _time_step(run, state, warm_key=1):
+    state, metrics = run(state, warm_key)  # compile + warmup
+    float(jax.device_get(jax.tree_util.tree_leaves(metrics)[0]))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = run(state, 2 + i)
+    float(jax.device_get(jax.tree_util.tree_leaves(metrics)[0]))
+    return (time.perf_counter() - t0) / ITERS
+
+
+def _report(name, bs, dt, flops, hbm_bytes, extra=None):
+    rec = {
+        "metric": f"train step, {name}, batch {bs}",
+        "step_ms": round(1000 * dt, 1),
+        "samples_per_sec": round(bs / dt, 2),
+    }
+    if flops:
+        rec["tflop_per_step"] = round(flops / 1e12, 3)
+        rec["mfu_pct"] = round(100 * flops / dt / PEAK_FLOPS, 1)
+    if hbm_bytes:
+        rec["hbm_gb_per_step"] = round(hbm_bytes / 1e9, 2)
+        rec["hbm_util_pct"] = round(100 * hbm_bytes / dt / PEAK_HBM, 1)
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _setup(exp, path, mutate_loss=None, perceptual=Ellipsis):
     cfg = load_config(path)
     object.__setattr__(cfg, "exp", exp)
     object.__setattr__(cfg.data, "dataset", "synthetic")
-    pipe = build_pipeline(cfg)
+    if mutate_loss:
+        lc = dataclasses.replace(cfg.model.lossconfig, **mutate_loss)
+        object.__setattr__(cfg.model, "lossconfig", lc)
+    if perceptual is Ellipsis:
+        pipe = build_pipeline(cfg)
+    else:
+        # direct construction to control perceptual_fn (image s1 ablations)
+        from ddmi_tpu.domains.image import ImagePipeline
+
+        pipe = ImagePipeline(cfg, perceptual_fn=perceptual)
     batch = jax.tree_util.tree_map(jnp.asarray, next(iter(build_dataset(cfg))))
+    return cfg, pipe, batch
+
+
+def bench(exp, path, name):
+    cfg, pipe, batch = _setup(exp, path)
     bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
     rng = jax.random.PRNGKey(0)
     if exp == "d2c-vae":
         state = pipe.init_stage1(rng, steps_per_epoch=10)
         tx = pipe.stage1_optimizer(10)
-        step = jax.jit(lambda s, x, r: pipe.stage1_train_step(tx, s, x, r),
-                       donate_argnums=(0,))
+        fn = lambda s, x, r: pipe.stage1_train_step(tx, s, x, r)
+        step = jax.jit(fn, donate_argnums=(0,))
         run = lambda s, i: step(s, batch, jax.random.PRNGKey(i))
+        lowered = jax.jit(fn).lower(state, batch, rng)
     else:
         s1_params = pipe.init_stage1(rng, steps_per_epoch=10).params
         state = pipe.init_stage2(rng, steps_per_epoch=10)
         tx = pipe.stage2_optimizer()
-        step = jax.jit(
-            lambda s, p1, x, r: pipe.stage2_train_step(tx, s, p1, x, r),
-            donate_argnums=(0,),
-        )
+        fn = lambda s, p1, x, r: pipe.stage2_train_step(tx, s, p1, x, r)
+        step = jax.jit(fn, donate_argnums=(0,))
         run = lambda s, i: step(s, s1_params, batch, jax.random.PRNGKey(i))
+        lowered = jax.jit(fn).lower(state, s1_params, batch, rng)
 
-    state, metrics = run(state, 1)  # compile + warmup
-    float(jax.device_get(metrics["loss"]))
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = run(state, 2 + i)
-    float(jax.device_get(metrics["loss"]))
-    dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "metric": f"train step, {name}, batch {bs}",
-                "step_ms": round(1000 * dt / ITERS, 1),
-                "samples_per_sec": round(ITERS * bs / dt, 2),
-            }
-        ),
-        flush=True,
+    flops, hbm = _cost(lowered.compile())
+    dt = _time_step(run, state)
+    _report(name, bs, dt, flops, hbm)
+
+
+def decompose_image_s1():
+    """Where do image-s1's milliseconds go?  Ablate one term at a time at the
+    production config (each variant is its own compiled program)."""
+    from ddmi_tpu.cli.main import build_perceptual
+
+    path = os.environ.get(
+        "DDMI_BENCH_S1_CONFIG", "configs/d2c-vae/celebahq.yaml"
     )
+    base_cfg = load_config(path)
+    object.__setattr__(base_cfg, "exp", "d2c-vae")
+    lpips = build_perceptual(base_cfg)
+
+    variants = [
+        ("full", {}, lpips, False),
+        ("no-lpips", {}, None, False),
+        ("no-multiscale", {"multiscale": False}, lpips, False),
+        ("no-snreg", {"sn_reg": False}, lpips, False),
+        ("fwd-only", {}, lpips, True),
+    ]
+    for vname, mut, perc, fwd_only in variants:
+        cfg, pipe, batch = _setup("d2c-vae", path, mutate_loss=mut,
+                                  perceptual=perc)
+        bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        state = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=10)
+        tx = pipe.stage1_optimizer(10)
+        if fwd_only:
+            fn = lambda s, x, r: (
+                s, pipe.stage1_loss(s.params, s.sn_state, x, r, s.step)[0]
+            )
+            donate = ()
+        else:
+            fn = lambda s, x, r: pipe.stage1_train_step(tx, s, x, r)
+            donate = (0,)
+        step = jax.jit(fn, donate_argnums=donate)
+        run = lambda s, i: step(s, batch, jax.random.PRNGKey(i))
+        flops, hbm = _cost(
+            jax.jit(fn).lower(state, batch, jax.random.PRNGKey(0)).compile()
+        )
+        dt = _time_step(run, state)
+        _report(f"image-s1/{vname}", bs, dt, flops, hbm)
+        import gc
+
+        gc.collect()
 
 
 if __name__ == "__main__":
     import gc
 
+    if os.environ.get("DDMI_BENCH_DECOMPOSE"):
+        decompose_image_s1()
+        raise SystemExit(0)
+
+    only = os.environ.get("DDMI_BENCH_CELLS")
+    only = set(only.split(",")) if only else None
     for exp, path, name in CELLS:
+        if only and name not in only:
+            continue
         try:
             bench(exp, path, name)
             gc.collect()  # free the previous cell's device buffers

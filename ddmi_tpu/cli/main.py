@@ -51,6 +51,7 @@ def build_dataset(cfg, train: bool = True):
             random_flip=train,
             num_processes=jax.process_count(),
             process_index=jax.process_index(),
+            workers=d.num_workers,
         )
     if cfg.data.domain == "video":
         from ddmi_tpu.data.video import make_video_dataset
@@ -59,6 +60,7 @@ def build_dataset(cfg, train: bool = True):
             d.dataset if d.dataset != "folder" else "sky",
             root, d.batch_size if train else d.test_batch_size,
             frames=d.frames, resolution=anchor,
+            workers=d.num_workers,
         )
     if cfg.data.domain == "occupancy":
         from ddmi_tpu.data.shapenet import ShapeNetOccupancyDataset

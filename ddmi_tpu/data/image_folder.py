@@ -45,6 +45,7 @@ class ImageFolderDataset:
         process_index: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        workers: int = 1,
     ):
         self.files = _list_images(root)
         if not self.files:
@@ -58,6 +59,7 @@ class ImageFolderDataset:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.workers = max(1, workers)
         self._epoch = 0
 
     def __len__(self):
@@ -66,7 +68,7 @@ class ImageFolderDataset:
             n += 1
         return n
 
-    def _load(self, path: str, rng: np.random.Generator) -> np.ndarray:
+    def _load(self, path: str, flip: bool) -> np.ndarray:
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
@@ -74,20 +76,44 @@ class ImageFolderDataset:
         if img.size != (r, r):
             img = img.resize((r, r), Image.LANCZOS)
         arr = np.asarray(img, np.float32) / 255.0
-        if self.random_flip and rng.random() < 0.5:
+        if flip:
             arr = arr[:, ::-1]
         return arr
 
     def _batches(self) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = np.random.default_rng(self.seed + self._epoch)
         order = np.arange(len(self.files))
         if self.shuffle:
             rng.shuffle(order)
         bs = self.batch_size
-        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
-            idx = order[i : i + bs]
-            batch = np.stack([self._load(self.files[k], rng) for k in idx])
-            yield batch
+        # PIL decode releases the GIL, so a thread pool scales decode across
+        # host cores (workers=1 keeps the old serial path).  Flip coins are
+        # drawn serially up front so the sample stream is identical at any
+        # worker count.
+        pool = (
+            ThreadPoolExecutor(self.workers) if self.workers > 1 else None
+        )
+        try:
+            for i in range(
+                0, len(order) - (bs - 1 if self.drop_last else 0), bs
+            ):
+                idx = order[i : i + bs]
+                paths = [self.files[k] for k in idx]
+                flips = (
+                    rng.random(len(idx)) < 0.5
+                    if self.random_flip
+                    else np.zeros(len(idx), bool)
+                )
+                if pool is not None:
+                    imgs = list(pool.map(self._load, paths, flips))
+                else:
+                    imgs = [self._load(p, f) for p, f in zip(paths, flips)]
+                yield np.stack(imgs)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         self._epoch += 1
 
     def __iter__(self) -> Iterator[np.ndarray]:

@@ -46,6 +46,7 @@ class VideoFrameFolderDataset:
         num_processes: int = 1,
         process_index: int = 0,
         prefetch: int = 2,
+        workers: int = 1,
     ):
         self.clips = _clip_dirs(root)[process_index::num_processes]
         if not self.clips:
@@ -56,12 +57,15 @@ class VideoFrameFolderDataset:
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = max(1, workers)
         self._epoch = 0
 
     def __len__(self):
         return max(1, len(self.clips) // self.batch_size)
 
-    def _load_clip(self, clip_dir: str, rng: np.random.Generator) -> np.ndarray:
+    def _load_clip(self, clip_dir: str, u: float) -> np.ndarray:
+        """u in [0,1) picks the clip's start offset (drawn serially by the
+        caller so the sample stream is identical at any worker count)."""
         from PIL import Image
 
         files = sorted(
@@ -69,7 +73,7 @@ class VideoFrameFolderDataset:
             if os.path.splitext(f)[1].lower() in _EXTS
         )
         if len(files) >= self.frames:
-            start = rng.integers(0, len(files) - self.frames + 1)
+            start = int(u * (len(files) - self.frames + 1))
             files = files[start : start + self.frames]
         else:  # loop-pad short clips
             reps = -(-self.frames // len(files))
@@ -92,18 +96,30 @@ class VideoFrameFolderDataset:
         sentinel = object()
 
         def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
             rng = np.random.default_rng(self.seed + self._epoch)
             order = np.arange(len(self.clips))
             if self.shuffle:
                 rng.shuffle(order)
+            pool = (
+                ThreadPoolExecutor(self.workers) if self.workers > 1 else None
+            )
             try:
                 bs = self.batch_size
                 for i in range(0, len(order) - bs + 1, bs):
-                    batch = np.stack(
-                        [self._load_clip(self.clips[k], rng) for k in order[i : i + bs]]
-                    )
-                    q.put(batch)
+                    dirs = [self.clips[k] for k in order[i : i + bs]]
+                    us = rng.random(bs)
+                    if pool is not None:
+                        clips = list(pool.map(self._load_clip, dirs, us))
+                    else:
+                        clips = [
+                            self._load_clip(d, u) for d, u in zip(dirs, us)
+                        ]
+                    q.put(np.stack(clips))
             finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 q.put(sentinel)
 
         threading.Thread(target=worker, daemon=True).start()
@@ -155,7 +171,11 @@ class UCF101VideoDataset:
     (VideoFrameFolderDataset) is the supported fallback."""
 
     def __init__(self, root: str, batch_size: int, frames: int = 16,
-                 resolution: int = 256, shuffle: bool = True, seed: int = 0):
+                 resolution: int = 256, shuffle: bool = True, seed: int = 0,
+                 workers: int = 1):
+        # `workers` is accepted for make_video_dataset signature parity; PyAV
+        # decode holds the GIL for long stretches, so this path stays serial.
+        del workers
         try:
             import av  # noqa: F401
         except ImportError as e:  # pragma: no cover - env has no av
