@@ -44,6 +44,7 @@ import io
 import json
 import threading
 import time
+import warnings
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -91,7 +92,12 @@ class SamplerService:
         bf16: Optional[bool] = None,
         n_views: int = 8,
         mesh_kwargs: Optional[dict] = None,
+        allow_init: bool = False,
     ):
+        """allow_init: if no checkpoints exist under cfg.data.save_pth,
+        serve freshly-initialized (untrained) params instead of raising —
+        for latency benchmarking and smoke deployment only.  The fallback
+        warns loudly and /healthz reports initialized=True."""
         self.domain = cfg.data.domain
         if self.domain == "image":
             from ddmi_tpu.domains.image import ImagePipeline
@@ -131,12 +137,29 @@ class SamplerService:
             self.res = int(resolution or cfg.data.test_resolution)
             self._noise_shape = (u.image_size, u.image_size, u.channels)
 
-        s1 = CheckpointManager(cfg.data.save_pth, prefix="stage1").restore(
-            pipe.init_stage1(jax.random.PRNGKey(0), 1)
-        )
-        s2 = CheckpointManager(cfg.data.save_pth, prefix="stage2").restore(
-            pipe.init_stage2(jax.random.PRNGKey(0), 1)
-        )
+        s1_init = pipe.init_stage1(jax.random.PRNGKey(0), 1)
+        s2_init = pipe.init_stage2(jax.random.PRNGKey(0), 1)
+        self.initialized = False  # True = serving untrained init params
+        try:
+            s1 = CheckpointManager(cfg.data.save_pth, prefix="stage1").restore(
+                s1_init
+            )
+            s2 = CheckpointManager(cfg.data.save_pth, prefix="stage2").restore(
+                s2_init
+            )
+        except FileNotFoundError:
+            if not allow_init:
+                raise
+            warnings.warn(
+                f"no checkpoints under {cfg.data.save_pth}; serving "
+                "freshly-initialized (UNTRAINED) params because "
+                "allow_init=True — outputs are noise, for latency "
+                "benchmarking / smoke deployment only",
+                stacklevel=2,
+            )
+            s1, s2 = s1_init, s2_init
+            self.initialized = True
+        del s1_init, s2_init
         ldm_params = s2.ema_params if use_ema else s2.params
         s1_params = s1.params
         self.step = int(s2.step)
@@ -456,6 +479,7 @@ def _make_handler(service: SamplerService):
                     "step": service.step,
                     "resolution": service.res,
                     "service_batch": service.batch,
+                    "initialized": service.initialized,
                 })
             else:
                 self._json(404, {"error": "not found"})

@@ -499,3 +499,28 @@ def test_turbo_serving(served_cfg):
         svc.close()
     finally:
         served_cfg.model.ddpmconfig.extra.pop("encoder_reuse", None)
+
+
+def test_allow_init_serves_without_checkpoints(served_cfg, tmp_path):
+    """allow_init=True serves untrained params when save_pth is empty
+    (latency benchmarking / smoke deployment); default still raises."""
+    import dataclasses
+
+    from ddmi_tpu.serve import SamplerService
+
+    cfg = dataclasses.replace(
+        served_cfg,
+        data=dataclasses.replace(served_cfg.data, save_pth=str(tmp_path / "empty")),
+    )
+    with pytest.raises(FileNotFoundError):
+        SamplerService(cfg, service_batch=2, resolution=16, bf16=False)
+
+    with pytest.warns(UserWarning, match="UNTRAINED"):
+        svc = SamplerService(
+            cfg, service_batch=2, resolution=16, linger_ms=5.0,
+            bf16=False, allow_init=True,
+        )
+    assert svc.initialized is True
+    out = svc.generate(n=1, seed=0, timeout=180)
+    assert out.shape == (1, 16, 16, 3) and out.dtype == np.uint8
+    svc.close()
