@@ -38,6 +38,49 @@ N_SCENES = 2
 N_VIEWS = 8
 VIEW_RES = 128
 
+# Analytic A100 baseline — same method as bench.py:40-50 (the reference
+# publishes no throughput numbers).  FLOPs for the identical architecture at
+# the protocol shapes are measured from XLA cost_analysis() of our compiled
+# program; the baseline is that FLOP count sustained at a torch-eager MFU
+# band on A100 fp16 dense peak (312 TFLOP/s).  30-40% is the torch-eager
+# diffusion band bench.py documents; the NeRF path's chunked 40k-ray volume
+# rendering (utils/nerf_helpers.py:281-293) and the occupancy path's small
+# 16x16 latents are BELOW that band in eager torch (launch/bandwidth-bound),
+# so the flat band is generous to the reference.  target = top of the band
+# (bench.py's "floor: top of the baseline uncertainty range" rule).
+A100_PEAK_FLOPS = 312e12
+A100_MFU_BAND = (0.30, 0.40)
+
+
+def _flops_per_item(compiled, batch):
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    f = (ca or {}).get("flops")
+    return f / batch if f else None
+
+
+def _baseline_fields(value_per_sec, flops_per_item):
+    if not flops_per_item:
+        return {"vs_baseline": None, "baseline": "unavailable (no XLA cost analysis)"}
+    lo = A100_PEAK_FLOPS * A100_MFU_BAND[0] / flops_per_item
+    hi = A100_PEAK_FLOPS * A100_MFU_BAND[1] / flops_per_item
+    point = A100_PEAK_FLOPS * 0.35 / flops_per_item
+    return {
+        "vs_baseline": round(value_per_sec / point, 4),
+        "baseline": (
+            f"analytic A100 estimate {point:.4g}/s (range {lo:.4g}-{hi:.4g}): "
+            f"measured {flops_per_item / 1e12:.3g} TFLOP/item at 30-40% "
+            "torch-eager MFU on 312 TFLOP/s fp16 peak; reference publishes "
+            "no throughput (derivation in this file's header)"
+        ),
+        "target": round(hi, 4),
+        "target_met": bool(value_per_sec >= hi),
+    }
+
 
 def bench_occupancy():
     cfg = load_config("configs/ldm/shapenet.yaml")
@@ -49,6 +92,9 @@ def bench_occupancy():
     sample = jax.jit(
         lambda lp, r: pipe.sample_latents(lp, r, N_MESHES)
     )
+    flops_per_latent = _flops_per_item(
+        sample.lower(s2_params, jax.random.PRNGKey(2)).compile(), N_MESHES
+    )
     z = sample(s2_params, jax.random.PRNGKey(2))
     float(z.mean())  # warm/compile the sampler
 
@@ -56,6 +102,23 @@ def bench_occupancy():
     z = sample(s2_params, jax.random.PRNGKey(3))
     float(z.mean())
     t_sample = time.perf_counter() - t0
+
+    # Machine-readable verdict for the device part (the DDIM latent scan);
+    # MISE extraction below is host-C++-dominated in BOTH frameworks
+    # (convocc/src/conv_onet/generation.py:99-115 is the same octree loop)
+    # so it gets a throughput record, not an MFU-band comparison.
+    latents_per_sec = N_MESHES / t_sample
+    print(
+        json.dumps(
+            {
+                "metric": f"latents/sec/chip, occupancy DDIM scan, NFE={nfe}",
+                "value": round(latents_per_sec, 3),
+                "unit": "latents/sec/chip",
+                **_baseline_fields(latents_per_sec, flops_per_latent),
+            }
+        ),
+        flush=True,
+    )
 
     # mesh extraction: first mesh compiles the chunked eval; time the rest
     def one_mesh(i):
@@ -100,6 +163,10 @@ def bench_nerf():
             lp, sp, r, N_SCENES, n_views=N_VIEWS, H=VIEW_RES, W=VIEW_RES
         )
     )
+    flops_per_scene = _flops_per_item(
+        render.lower(s2_params, s1_params, jax.random.PRNGKey(2)).compile(),
+        N_SCENES,
+    )
     out = render(s2_params, s1_params, jax.random.PRNGKey(2))
     float(jnp.asarray(out).mean())
 
@@ -120,6 +187,14 @@ def bench_nerf():
                 "value": round(scenes_per_min, 3),
                 "unit": "scenes/min/chip",
                 "views_per_sec": round(scenes_per_min * N_VIEWS / 60.0, 2),
+                # baseline fields are in scenes/sec; convert target to match
+                # the scenes/min headline unit
+                **{
+                    k: (round(v * 60.0, 3) if k == "target" and v else v)
+                    for k, v in _baseline_fields(
+                        scenes_per_min / 60.0, flops_per_scene
+                    ).items()
+                },
             }
         ),
         flush=True,
