@@ -31,7 +31,23 @@ from ddmi_tpu.diffusion.process import ddim_sample_unet
 from ddmi_tpu.domains.video import VideoPipeline
 
 NFE = 200
-BATCH = 2
+BATCH = int(os.environ.get("DDMI_VIDEO_BATCH", "2"))
+
+# v5e single-chip peaks (public spec), same constants as bench_train.py
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
+
+
+def _cost(compiled):
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:
+        return None, None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    if not ca:
+        return None, None
+    return ca.get("flops"), ca.get("bytes accessed")
 
 
 def _bf16(tree):
@@ -102,9 +118,42 @@ def main():
         {"params": sp["vae"]}, zz, method=pipe.vae.decode))
     dec_s = _time(decode, (s1p, z), iters=3)
 
+    # -------- TriplaneUNet forward roofline (round-3 VERDICT item 5) -----
+    # One denoiser forward at exactly the scan's shape: fp32 carry input
+    # (the UNet casts at conv_in, same as the image bench), bf16 params.
+    x = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+    t = jnp.full((BATCH,), NFE // 2, jnp.int32)
+    fwd = jax.jit(lambda p, xx, tt: pipe.unet.apply({"params": p}, xx, tt))
+    fwd_flops, fwd_bytes = _cost(fwd.lower(ldm["unet"], x, t).compile())
+    fwd_s = _time(fwd, (ldm["unet"], x, t), iters=20)
+    fwd_rec = {"ms": round(1e3 * fwd_s, 3)}
+    sol_fwd_s = None
+    if fwd_flops and fwd_bytes:
+        fwd_rec.update({
+            "gflop": round(fwd_flops / 1e9, 2),
+            "hbm_gb": round(fwd_bytes / 1e9, 3),
+            "mfu_pct": round(100 * fwd_flops / fwd_s / PEAK_FLOPS, 1),
+            "hbm_util_pct": round(100 * fwd_bytes / fwd_s / PEAK_HBM, 1),
+        })
+        # speed-of-light per forward: whichever wall (MXU or HBM) binds
+        sol_fwd_s = max(fwd_flops / PEAK_FLOPS, fwd_bytes / PEAK_HBM)
+        fwd_rec["sol_ms"] = round(1e3 * sol_fwd_s, 3)
+        fwd_rec["bound"] = (
+            "compute" if fwd_flops / PEAK_FLOPS >= fwd_bytes / PEAK_HBM
+            else "hbm-bandwidth"
+        )
+
+    # tail speed-of-light from its own cost analysis
+    tail_flops, tail_bytes = _cost(tail.lower(s1p, z).compile())
+    sol_tail_s = (
+        max(tail_flops / PEAK_FLOPS, tail_bytes / PEAK_HBM)
+        if tail_flops and tail_bytes else None
+    )
+
     total = scan_s + tail_s
-    print(json.dumps({
-        "bench": "video gen decomposition (skytimelapse, NFE=200, batch 2)",
+    rec = {
+        "bench": f"video gen decomposition (skytimelapse, NFE={NFE}, "
+        f"batch {BATCH})",
         "scan_s": round(scan_s, 3),
         "scan_ms_per_unet_fwd": round(1e3 * scan_s / NFE, 3),
         "tail_s": round(tail_s, 3),
@@ -112,7 +161,25 @@ def main():
         "render_s_within_tail": round(tail_s - dec_s, 3),
         "scan_frac": round(scan_s / total, 3),
         "videos_per_sec_implied": round(BATCH / total, 4),
-    }))
+        "unet_fwd": fwd_rec,
+    }
+    if sol_fwd_s and sol_tail_s:
+        # Ceiling band for videos/s/chip, same spirit as image's 3.7-4.4:
+        # upper = hard speed-of-light (every op at the binding wall's peak);
+        # lower = scan forwards at the image bench's measured best sustained
+        # MFU/HBM fraction for mixed conv+attention programs (~61%,
+        # BASELINE.md "Roofline") with the tail at the same fraction.
+        sol_total = NFE * sol_fwd_s + sol_tail_s
+        band_lo = BATCH / (sol_total / 0.61)
+        band_hi = BATCH / sol_total
+        rec["ceiling_videos_per_sec"] = {
+            "speed_of_light": round(band_hi, 3),
+            "at_61pct_sustained": round(band_lo, 3),
+            "note": "SoL from XLA cost analysis (max of MXU and HBM walls "
+            "per phase); 61% = best sustained fraction measured for the "
+            "image pipeline's mixed conv+attn program (BASELINE.md)",
+        }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
