@@ -7,8 +7,9 @@ grids use pixel-center ranges [-(n-1)/n, (n-1)/n] as the reference trainers do
 
 `multiscale_image_transform` is reformulated for XLA: the host-RNG branchy
 version (general_utils.py:151-201) becomes fixed-shape branches selected with
-`lax.switch` — all three scale targets are computed (cheap resizes), crops use
-dynamic_slice, and the whole thing jits.
+`lax.switch` — each branch computes only its own scale's resize (conditional
+execution, not unconditional-compute-then-select), crops use dynamic_slice,
+and the whole thing jits.
 """
 
 from __future__ import annotations
@@ -83,6 +84,8 @@ def get_scale_injection(current_res: int, anchor_res: int = 256) -> float:
 def resize_antialias(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Area-correct antialiased resize of NHWC images to (size, size)."""
     B, H, W, C = x.shape
+    if H == size and W == size:
+        return x  # identity resize: skip the gather XLA would still emit
     return jax.image.resize(
         x, (B, size, size, C), method="linear", antialias=True
     )
@@ -110,8 +113,6 @@ def multiscale_image_transform(
         return y_anchor, pixel_center_grid(size), jnp.float32(1.0), y_anchor
 
     rng_p, rng_i, rng_j, rng_i2, rng_j2 = jax.random.split(rng, 5)
-    y512 = jnp.clip(resize_antialias(x, res_h), -1.0, 1.0)
-    y384 = jnp.clip(resize_antialias(x, res_m), -1.0, 1.0)
 
     i = jax.random.randint(rng_i, (), 0, res_h - 1 - size + 1)
     j = jax.random.randint(rng_j, (), 0, res_h - 1 - size + 1)
@@ -127,10 +128,22 @@ def multiscale_image_transform(
             img, (0, ii, jj, 0), (img.shape[0], size, size, img.shape[3])
         )
 
+    # The scale resizes live INSIDE the switch branches so XLA executes only
+    # the taken scale's resize each step (an unconditional y384+y512 pair
+    # costs two full-batch antialias gathers on 70% / 60% of steps for
+    # nothing — measured win in BASELINE.md "Training roofline").
     branches = [
         lambda: (y_anchor, g256, jnp.float32(1.0)),
-        lambda: (crop(y384, i2, j2), crop(g384, i2, j2), jnp.float32(1 / 1.5)),
-        lambda: (crop(y512, i, j), crop(g512, i, j), jnp.float32(0.5)),
+        lambda: (
+            crop(jnp.clip(resize_antialias(x, res_m), -1.0, 1.0), i2, j2),
+            crop(g384, i2, j2),
+            jnp.float32(1 / 1.5),
+        ),
+        lambda: (
+            crop(jnp.clip(resize_antialias(x, res_h), -1.0, 1.0), i, j),
+            crop(g512, i, j),
+            jnp.float32(0.5),
+        ),
     ]
     p = jax.random.uniform(rng_p)
     idx = jnp.where(p <= 0.3, 0, jnp.where(p <= 0.6, 1, 2))
