@@ -9,6 +9,8 @@ ops/mea.py instead of xformers."""
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -18,16 +20,19 @@ from ddmi_tpu.ops.pallas import attention as vmem_attn
 
 
 def tiered_attention(q, k, v):
-    """Attention over (B, nh, n, hd) with the same inference-gated Pallas
-    tiers as the image UNet's AttentionBlock (nn/unet.py:115-195): the
-    single-pass VMEM kernel when the shape fits (n <= 1024), the TPU flash
-    kernel for long sequences, and the chunked online-softmax MEA path
-    otherwise (also the training path — both kernels are sampling-only
-    here, matching unet.py's dispatch).
+    """Attention over (B, nh, n, hd) with the same Pallas tiers as the image
+    UNet's AttentionBlock (nn/unet.py:115-195): the single-pass VMEM kernel
+    when the shape fits (n <= 1024, sampling only — the kernel is
+    forward-only), the TPU flash kernel for long sequences (training AND
+    sampling: its Pallas backward is exactly what the video decoder's
+    73k-token cross-plane attentions need under autodiff — the chunked MEA
+    fallback's remat'd lax.scan recomputes every tile's scores on the
+    backward), and the chunked online-softmax MEA path otherwise.
 
     Measured motivation: the video DDIM scan is 63% of generation time and
     its cross-plane attentions ran dense-XLA (BASELINE.md video
-    decomposition, bench_video_decompose.py)."""
+    decomposition, bench_video_decompose.py); flash-under-training A/B in
+    BASELINE.md "Training roofline" (DDMI_NO_FLASH_1D flips it back)."""
     n, hd = q.shape[-2], q.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and vmem_attn.is_inference() and vmem_attn.supported(n, hd):
@@ -37,7 +42,7 @@ def tiered_attention(q, k, v):
     blk = min(n, FLASH_BLOCK)
     if (
         on_tpu
-        and vmem_attn.is_inference()
+        and not os.environ.get("DDMI_NO_FLASH_1D")  # on-chip A/B switch
         and n >= FLASH_MIN_TOKENS
         and n % blk == 0
         # hd < 128 underuses MXU lanes but flash still wins by never
