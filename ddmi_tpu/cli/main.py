@@ -107,7 +107,11 @@ def build_perceptual(cfg):
 
     from ddmi_tpu.evals.lpips import LPIPS, load_torch_weights
 
-    model = LPIPS()
+    # model.amp runs the VGG trunk in bf16 (reference parity: LPIPS trains
+    # under fp16 autocast, tools/d2c_vae/image.py:184); reductions stay
+    # fp32 inside LPIPS.  DDMI_LPIPS_FP32=1 forces fp32 for on-chip A/Bs.
+    amp = bool(cfg.model.amp) and not os.environ.get("DDMI_LPIPS_FP32")
+    model = LPIPS(dtype=jnp.bfloat16 if amp else jnp.float32)
     pth = cfg.data.extra.get("lpips_pth")
     if pth and os.path.exists(pth):
         import numpy as np

@@ -32,17 +32,29 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv trunk emitting the five LPIPS tap activations."""
+    """VGG16 conv trunk emitting the five LPIPS tap activations.
+
+    `dtype` is the conv compute dtype (params stay fp32 via flax's param
+    dtype): bfloat16 matches the reference training LPIPS under
+    `accelerator.autocast()` (tools/d2c_vae/image.py:184 wraps the whole
+    loss incl. LPIPS in fp16 autocast); the unit-normalization and
+    reductions downstream stay fp32 either way."""
+
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         taps = []
         conv_idx = 0
+        x = x.astype(self.dtype)
         for v in _VGG16_CFG:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = nn.Conv(v, (3, 3), padding=1, name=f"conv{conv_idx}")(x)
+                x = nn.Conv(
+                    v, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"conv{conv_idx}",
+                )(x)
                 x = jax.nn.relu(x)
                 conv_idx += 1
                 if conv_idx in _SLICE_ENDS:
@@ -54,17 +66,20 @@ class LPIPS(nn.Module):
     """Full LPIPS: d(x, y) per sample, shape (b,)."""
 
     use_dropout: bool = True  # parity: lin layers include dropout at train; eval none
+    dtype: jnp.dtype = jnp.float32  # VGG trunk compute dtype (see VGG16Features)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         shift = jnp.asarray(_SHIFT).reshape(1, 1, 1, 3)
         scale = jnp.asarray(_SCALE).reshape(1, 1, 1, 3)
-        net = VGG16Features(name="vgg")
+        net = VGG16Features(dtype=self.dtype, name="vgg")
         fx = net((x - shift) / scale)
         fy = net((y - shift) / scale)
 
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
             a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
             b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
             diff = (a - b) ** 2
