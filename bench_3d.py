@@ -38,48 +38,14 @@ N_SCENES = 2
 N_VIEWS = 8
 VIEW_RES = 128
 
-# Analytic A100 baseline — same method as bench.py:40-50 (the reference
-# publishes no throughput numbers).  FLOPs for the identical architecture at
-# the protocol shapes are measured from XLA cost_analysis() of our compiled
-# program; the baseline is that FLOP count sustained at a torch-eager MFU
-# band on A100 fp16 dense peak (312 TFLOP/s).  30-40% is the torch-eager
-# diffusion band bench.py documents; the NeRF path's chunked 40k-ray volume
-# rendering (utils/nerf_helpers.py:281-293) and the occupancy path's small
-# 16x16 latents are BELOW that band in eager torch (launch/bandwidth-bound),
-# so the flat band is generous to the reference.  target = top of the band
-# (bench.py's "floor: top of the baseline uncertainty range" rule).
-A100_PEAK_FLOPS = 312e12
-A100_MFU_BAND = (0.30, 0.40)
-
-
-def _flops_per_item(compiled, batch):
-    try:
-        ca = compiled.cost_analysis()
-    except Exception:
-        return None
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0] if ca else {}
-    f = (ca or {}).get("flops")
-    return f / batch if f else None
-
-
-def _baseline_fields(value_per_sec, flops_per_item):
-    if not flops_per_item:
-        return {"vs_baseline": None, "baseline": "unavailable (no XLA cost analysis)"}
-    lo = A100_PEAK_FLOPS * A100_MFU_BAND[0] / flops_per_item
-    hi = A100_PEAK_FLOPS * A100_MFU_BAND[1] / flops_per_item
-    point = A100_PEAK_FLOPS * 0.35 / flops_per_item
-    return {
-        "vs_baseline": round(value_per_sec / point, 4),
-        "baseline": (
-            f"analytic A100 estimate {point:.4g}/s (range {lo:.4g}-{hi:.4g}): "
-            f"measured {flops_per_item / 1e12:.3g} TFLOP/item at 30-40% "
-            "torch-eager MFU on 312 TFLOP/s fp16 peak; reference publishes "
-            "no throughput (derivation in this file's header)"
-        ),
-        "target": round(hi, 4),
-        "target_met": bool(value_per_sec >= hi),
-    }
+# Analytic A100 baseline: dual-wall model shared with bench_video.py — FLOP
+# wall (30-40% torch-eager MFU band) vs kernel-launch wall (the reference's
+# Python DDIM loop serializes NFE x 743 measured aten dispatches per ADM
+# UNet forward at these 16x16-latent shapes, where eager torch is dispatch-
+# bound, not FLOP-bound).  Op counts measured from the actual reference
+# modules (bench_refops.py -> refops.json); derivation + generosity
+# direction in bench_baseline.py.
+from bench_baseline import baseline_fields, flops_per_item, load_refops
 
 
 def bench_occupancy():
@@ -92,9 +58,11 @@ def bench_occupancy():
     sample = jax.jit(
         lambda lp, r: pipe.sample_latents(lp, r, N_MESHES)
     )
-    flops_per_latent = _flops_per_item(
+    flops_per_latent = flops_per_item(
         sample.lower(s2_params, jax.random.PRNGKey(2)).compile(), N_MESHES
     )
+    unet_ops = load_refops().get("occupancy_unet_fwd")
+    eager_ops_per_latent = nfe * unet_ops / N_MESHES if unet_ops else None
     z = sample(s2_params, jax.random.PRNGKey(2))
     float(z.mean())  # warm/compile the sampler
 
@@ -114,7 +82,8 @@ def bench_occupancy():
                 "metric": f"latents/sec/chip, occupancy DDIM scan, NFE={nfe}",
                 "value": round(latents_per_sec, 3),
                 "unit": "latents/sec/chip",
-                **_baseline_fields(latents_per_sec, flops_per_latent),
+                **baseline_fields(latents_per_sec, flops_per_latent,
+                                  eager_ops=eager_ops_per_latent),
             }
         ),
         flush=True,
@@ -163,10 +132,23 @@ def bench_nerf():
             lp, sp, r, N_SCENES, n_views=N_VIEWS, H=VIEW_RES, W=VIEW_RES
         )
     )
-    flops_per_scene = _flops_per_item(
+    flops_per_scene = flops_per_item(
         render.lower(s2_params, s1_params, jax.random.PRNGKey(2)).compile(),
         N_SCENES,
     )
+    # Reference eager dispatches per scene: NFE UNet forwards (batch-shared)
+    # + per-view chunked volume render (utils/nerf_helpers.py:281-293:
+    # 128^2 rays x N_samples=256 points through netchunk=40000 MLPNeRF
+    # chunks; ~60 extra ops/view for grid_sample/embed/compositing).
+    ops = load_refops()
+    eager_ops_per_scene = None
+    if ops.get("nerf_unet_fwd"):
+        n_pts = VIEW_RES * VIEW_RES * 256
+        n_chunks = -(-n_pts // 40000)
+        render_ops = N_VIEWS * (n_chunks * ops.get("nerf_mlp_chunk_fwd", 23)
+                                + 60)
+        eager_ops_per_scene = (nfe * ops["nerf_unet_fwd"] / N_SCENES
+                               + render_ops)
     out = render(s2_params, s1_params, jax.random.PRNGKey(2))
     float(jnp.asarray(out).mean())
 
@@ -191,8 +173,9 @@ def bench_nerf():
                 # the scenes/min headline unit
                 **{
                     k: (round(v * 60.0, 3) if k == "target" and v else v)
-                    for k, v in _baseline_fields(
-                        scenes_per_min / 60.0, flops_per_scene
+                    for k, v in baseline_fields(
+                        scenes_per_min / 60.0, flops_per_scene,
+                        eager_ops=eager_ops_per_scene,
                     ).items()
                 },
             }

@@ -30,51 +30,12 @@ from ddmi_tpu.domains.video import VideoPipeline
 
 NFE = 200  # reference FVD protocol (configs/ldm/skytimelapse.yaml:73)
 
-# Analytic A100 baseline — same method as bench.py:40-50 (the reference
-# publishes no throughput numbers, BASELINE.md).  The reference pipeline is
-# the SAME architecture at the same protocol shapes, so its FLOPs are taken
-# from XLA cost_analysis() of our compiled sample program at runtime; the
-# estimate is that FLOP count sustained at a torch-eager MFU band on A100
-# fp16 dense peak (312 TFLOP/s).  Torch-eager diffusion UNets sustain
-# 30-40%; the reference's decoder attentions run through xformers (similar
-# band) but its per-frame voxel grid_sample render is bandwidth-bound eager
-# (<20% MFU), so a flat 30-40% band over TOTAL FLOPs is generous to the
-# reference.  target = the top of the band (the same "floor: top of the
-# baseline uncertainty range" rule bench.py uses).
-A100_PEAK_FLOPS = 312e12
-A100_MFU_BAND = (0.30, 0.40)
-
-
-def _flops_per_item(compiled, batch):
-    """Total FLOPs of the compiled program / batch, or None."""
-    try:
-        ca = compiled.cost_analysis()
-    except Exception:
-        return None
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0] if ca else {}
-    f = (ca or {}).get("flops")
-    return f / batch if f else None
-
-
-def _baseline_fields(value, flops_per_item):
-    """vs_baseline / target / target_met from the analytic A100 band."""
-    if not flops_per_item:
-        return {"vs_baseline": None, "baseline": "unavailable (no XLA cost analysis)"}
-    lo = A100_PEAK_FLOPS * A100_MFU_BAND[0] / flops_per_item
-    hi = A100_PEAK_FLOPS * A100_MFU_BAND[1] / flops_per_item
-    point = A100_PEAK_FLOPS * 0.35 / flops_per_item
-    return {
-        "vs_baseline": round(value / point, 4),
-        "baseline": (
-            f"analytic A100 estimate {point:.4g}/s (range {lo:.4g}-{hi:.4g}): "
-            f"measured {flops_per_item / 1e12:.3g} TFLOP/item at 30-40% "
-            "torch-eager MFU on 312 TFLOP/s fp16 peak; reference publishes "
-            "no throughput (derivation in this file's header)"
-        ),
-        "target": round(hi, 4),
-        "target_met": bool(value >= hi),
-    }
+# Analytic A100 baseline: dual-wall model shared with bench_3d.py — FLOP
+# wall (30-40% torch-eager MFU band over our measured FLOPs) vs kernel-
+# launch wall (the reference's Python DDIM loop serializes NFE x 2838
+# measured aten dispatches per TriplaneUNet forward, refops.json).  See
+# bench_baseline.py for the derivation and generosity direction.
+from bench_baseline import baseline_fields, flops_per_item, load_refops
 # DDMI_VIDEO_BATCH: A/B the sampling batch.  2 is the record batch every
 # round-2/3 number was measured at; other batches are labeled non-protocol
 # in the JSON (same comparability rule as bench.py's DDMI_BENCH_BATCH).
@@ -107,10 +68,15 @@ def main():
     sample = jax.jit(
         lambda lp, sp, r: pipe.sample_videos(lp, sp, r, batch=BATCH)
     )
-    flops_per_video = _flops_per_item(
+    flops_per_video = flops_per_item(
         sample.lower(ldm_params, s1_params, jax.random.PRNGKey(2)).compile(),
         BATCH,
     )
+    # Reference eager dispatches per video: the NFE-step Python DDIM loop's
+    # TriplaneUNet forwards (batch-shared launches); the one decode + render
+    # pass is excluded from the floor (generous to the reference).
+    unet_ops = load_refops().get("video_unet_fwd")
+    eager_ops = NFE * unet_ops / BATCH if unet_ops else None
 
     out = sample(ldm_params, s1_params, jax.random.PRNGKey(2))
     float(out.mean())  # host readback: compile + warmup fully complete
@@ -134,7 +100,8 @@ def main():
                 "unit": "videos/sec/chip",
                 "frames_per_sec": round(videos_per_sec * FRAMES, 2),
                 "batch": BATCH,
-                **_baseline_fields(videos_per_sec, flops_per_video),
+                **baseline_fields(videos_per_sec, flops_per_video,
+                                  eager_ops=eager_ops),
             }
         )
     )
