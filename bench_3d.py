@@ -48,11 +48,24 @@ VIEW_RES = 128
 from bench_baseline import baseline_fields, flops_per_item, load_refops
 
 
+def _bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
 def bench_occupancy():
     cfg = load_config("configs/ldm/shapenet.yaml")
+    # bf16 UNet for the DDIM scan (same as bench.py/bench_video.py; the
+    # reference samples under Accelerate fp16 autocast).  The stage-1 MLP3D
+    # occupancy eval stays fp32: MISE thresholds logits near 0 and bf16
+    # quantization there would move iso-surface crossings.
+    object.__setattr__(cfg.model, "use_fp16", True)
     pipe = OccupancyPipeline(cfg)
     s1_params = pipe.init_stage1(jax.random.PRNGKey(0), 10).params
-    s2_params = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    s2 = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    s2_params = {"unet": _bf16(s2["unet"]),
+                 "mixing_logit": s2["mixing_logit"]}
     nfe = cfg.model.ddpmconfig.sampling_timesteps
 
     sample = jax.jit(
@@ -61,6 +74,19 @@ def bench_occupancy():
     flops_per_latent = flops_per_item(
         sample.lower(s2_params, jax.random.PRNGKey(2)).compile(), N_MESHES
     )
+    # cost analysis counts the scan body once (bench_baseline.py): add the
+    # other NFE-1 UNet forwards
+    r = pipe.latent_res
+    unet_fwd = flops_of(
+        lambda p, x, t: pipe.unet.apply({"params": p}, x, t),
+        s2_params["unet"],
+        jax.ShapeDtypeStruct(
+            (N_MESHES, r, r, cfg.model.ddpmconfig.channels), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((N_MESHES,), jnp.int32),
+    )
+    if flops_per_latent and unet_fwd:
+        flops_per_latent += (nfe - 1) * unet_fwd / N_MESHES
     unet_ops = load_refops().get("occupancy_unet_fwd")
     eager_ops_per_latent = nfe * unet_ops / N_MESHES if unet_ops else None
     z = sample(s2_params, jax.random.PRNGKey(2))
@@ -122,9 +148,15 @@ def bench_occupancy():
 
 def bench_nerf():
     cfg = load_config("configs/ldm/srn_cars.yaml")
+    # bf16 scan + decode + MLP render (reference samples under Accelerate
+    # fp16 autocast); coordinates and alpha compositing stay fp32 inside
+    # render_rays (domains/nerf.py).
+    object.__setattr__(cfg.model, "use_fp16", True)
     pipe = NeRFPipeline(cfg)
-    s1_params = pipe.init_stage1(jax.random.PRNGKey(0), 10).params
-    s2_params = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    s1_params = _bf16(pipe.init_stage1(jax.random.PRNGKey(0), 10).params)
+    s2 = pipe.init_stage2(jax.random.PRNGKey(1), 10).params
+    s2_params = {"unet": _bf16(s2["unet"]),
+                 "mixing_logit": s2["mixing_logit"]}
     nfe = cfg.model.ddpmconfig.sampling_timesteps
 
     render = jax.jit(
@@ -136,6 +168,36 @@ def bench_nerf():
         render.lower(s2_params, s1_params, jax.random.PRNGKey(2)).compile(),
         N_SCENES,
     )
+    # scan/map bodies counted once (bench_baseline.py): add the other NFE-1
+    # UNet forwards and the other views*tiles-1 ray-tile renders per scene
+    r = pipe.latent_res
+    unet_fwd = flops_of(
+        lambda p, x, t: pipe.unet.apply({"params": p}, x, t),
+        s2_params["unet"],
+        jax.ShapeDtypeStruct(
+            (N_SCENES, r, r, cfg.model.ddpmconfig.channels), jnp.float32
+        ),
+        jax.ShapeDtypeStruct((N_SCENES,), jnp.int32),
+    )
+    pr = cfg.model.ddconfig.resolution
+    pc = cfg.model.ddconfig.out_ch
+    planes_sds = {
+        k: jax.ShapeDtypeStruct((1, pr, pr, pc), jnp.bfloat16)
+        for k in ("xy", "yz", "xz")
+    }
+    ray_chunk = 4096
+    tile_fwd = flops_of(
+        lambda mp, pl, o, d: pipe.render_rays(mp, pl, o, d,
+                                              jax.random.PRNGKey(0),
+                                              perturb=0.0),
+        s1_params["mlp"], planes_sds,
+        jax.ShapeDtypeStruct((ray_chunk, 3), jnp.float32),
+        jax.ShapeDtypeStruct((ray_chunk, 3), jnp.float32),
+    )
+    if flops_per_scene and unet_fwd and tile_fwd:
+        n_tiles = N_VIEWS * (-(-(VIEW_RES * VIEW_RES) // ray_chunk))
+        flops_per_scene += ((nfe - 1) * unet_fwd / N_SCENES
+                            + (n_tiles - 1) * tile_fwd)
     # Reference eager dispatches per scene: NFE UNet forwards (batch-shared)
     # + per-view chunked volume render (utils/nerf_helpers.py:281-293:
     # 128^2 rays x N_samples=256 points through netchunk=40000 MLPNeRF

@@ -45,7 +45,13 @@ def load_refops():
 
 
 def flops_per_item(compiled, batch):
-    """Total FLOPs of a compiled XLA program / batch, or None."""
+    """Total FLOPs of a compiled XLA program / batch, or None.
+
+    CAUTION: XLA cost analysis counts a while-loop/scan body ONCE, ignoring
+    the trip count (verified empirically: a 100-step scan of a matmul
+    reports 1 matmul's flops).  Callers whose program scans a denoiser NFE
+    times must add (NFE-1) x flops_of(one forward) — see bench_video.py /
+    bench_3d.py."""
     try:
         ca = compiled.cost_analysis()
     except Exception:
@@ -54,6 +60,20 @@ def flops_per_item(compiled, batch):
         ca = ca[0] if ca else {}
     f = (ca or {}).get("flops")
     return f / batch if f else None
+
+
+def flops_of(fn, *args):
+    """FLOPs of one compiled call of fn(*args).  Args may be
+    jax.ShapeDtypeStruct — lowering never runs the computation."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    except Exception:
+        return None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return (ca or {}).get("flops")
 
 
 def baseline_fields(value_per_sec, flops, eager_ops=None, note=""):

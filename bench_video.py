@@ -72,6 +72,23 @@ def main():
         sample.lower(ldm_params, s1_params, jax.random.PRNGKey(2)).compile(),
         BATCH,
     )
+    # XLA cost analysis counts the DDIM scan body ONCE (bench_baseline.py):
+    # add the other NFE-1 TriplaneUNet forwards.  The 15 uncounted
+    # render_frame map iterations (~1% of time) are left out — generous to
+    # the reference.
+    from bench_baseline import flops_of
+
+    unet_fwd = flops_of(
+        lambda p, x, t: pipe.unet.apply({"params": p}, x, t),
+        ldm_params["unet"],
+        jax.ShapeDtypeStruct(
+            (BATCH, pipe.n_latent_tokens, cfg.model.ddpmconfig.channels),
+            jnp.float32,
+        ),
+        jax.ShapeDtypeStruct((BATCH,), jnp.int32),
+    )
+    if flops_per_video and unet_fwd:
+        flops_per_video += (NFE - 1) * unet_fwd / BATCH
     # Reference eager dispatches per video: the NFE-step Python DDIM loop's
     # TriplaneUNet forwards (batch-shared launches); the one decode + render
     # pass is excluded from the floor (generous to the reference).

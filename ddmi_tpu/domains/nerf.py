@@ -191,8 +191,14 @@ class NeRFPipeline:
             self.embed_dir(viewdirs)[:, None],
             (n, self.n_samples, 3 * (2 * self.embed_dir.n_freqs + 1)),
         )
-        x = jnp.concatenate([feat, e_xyz, e_dir], -1)
-        raw = self.mlp.apply({"params": mlp_params}, x)
+        # MLP compute in the params' dtype (bf16 when the caller casts params
+        # for sampling — same promotion discipline as the image render,
+        # domains/image.py::sample_images).  Coordinates, frequency args and
+        # the alpha compositing stay fp32: bf16's 8 mantissa bits would
+        # quantize grid coords and transmittance products.
+        p_dtype = jax.tree_util.tree_leaves(mlp_params)[0].dtype
+        x = jnp.concatenate([feat, e_xyz, e_dir], -1).astype(p_dtype)
+        raw = self.mlp.apply({"params": mlp_params}, x).astype(jnp.float32)
         rgb, _, _ = raw2outputs(raw, z, rays_d, self.white_bkgd)
         return rgb
 
@@ -200,8 +206,10 @@ class NeRFPipeline:
         """z (b, r, r, 3*embed) -> dict of fine planes (the NeRF path uses
         the single decoded plane per axis — hdbf_resolutions is empty in
         srn_cars.yaml, so each pyramid has one level)."""
+        p_dtype = jax.tree_util.tree_leaves(stage1_params["vae"])[0].dtype
         pyr_xy, pyr_yz, pyr_xz = self.vae.apply(
-            {"params": stage1_params["vae"]}, z, method=self.vae.decode
+            {"params": stage1_params["vae"]}, z.astype(p_dtype),
+            method=self.vae.decode,
         )
         return {"xy": pyr_xy[0], "yz": pyr_yz[0], "xz": pyr_xz[0]}
 
