@@ -126,6 +126,9 @@ def bench_occupancy():
         flush=True,
     )
 
+    if os.environ.get("DDMI_3D_SCAN_ONLY"):  # batch sweeps skip extraction
+        return
+
     # mesh extraction: first mesh compiles the chunked eval; time the rest
     if N_LATENTS != N_MESHES:
         z = jax.jit(lambda lp, r: pipe.sample_latents(lp, r, N_MESHES))(
@@ -263,5 +266,10 @@ def bench_nerf():
 
 
 if __name__ == "__main__":
-    bench_occupancy()
-    bench_nerf()
+    # DDMI_3D_PART=occ|nerf runs one domain (e.g. batch sweeps of the
+    # occupancy scan don't need a NeRF render each time)
+    part = os.environ.get("DDMI_3D_PART", "")
+    if part in ("", "occ"):
+        bench_occupancy()
+    if part in ("", "nerf"):
+        bench_nerf()

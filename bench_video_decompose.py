@@ -63,22 +63,28 @@ def _readback(out):
 
 
 def _time(fn, args, iters):
-    # trace/compile under inference_mode, matching sample_videos (the
-    # production program wraps scan+decode+render in one no-grad trace,
-    # domains/video.py::sample_videos) — the Pallas attention tiers are
-    # trace-time gated
-    from ddmi_tpu.ops.pallas import attention as vmem_attn
-
-    with vmem_attn.inference_mode():
-        _readback(fn(*args))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        _readback(out)
-        return (time.perf_counter() - t0) / iters
+    _readback(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _readback(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
+    # ONE inference_mode around everything: every jit below traces exactly
+    # once, with the Pallas attention tiers gated the way the production
+    # sample_videos program gates them (domains/video.py).  (A prior
+    # revision entered inference_mode only inside _time, so the first
+    # warm-up call compiled each program a second time in training mode —
+    # the 200-step scan compile alone is ~25 min on the tunneled compiler.)
+    from ddmi_tpu.ops.pallas import attention as vmem_attn
+
+    with vmem_attn.inference_mode():
+        _main()
+
+
+def _main():
     cfg = load_config("configs/ldm/skytimelapse.yaml")
     object.__setattr__(cfg.model.ddpmconfig, "sampling_timesteps", NFE)
     pipe = VideoPipeline(cfg)

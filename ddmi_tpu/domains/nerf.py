@@ -156,6 +156,12 @@ class NeRFPipeline:
         self.unet = UNet(m.unetconfig, dtype=dtype)
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
+        # model.amp: bf16 compute for the stage-1 VAE/INR forward (fp32
+        # master params + fp32 loss reductions, core/amp.py) — the reference
+        # trains under Accelerate fp16 autocast (tools/d2c_vae/nerf.py:41-43).
+        # Pointnet stays fp32 (coordinate2index scatter); ray/coordinate math
+        # and alpha compositing stay fp32 inside render_rays.
+        self.amp = bool(m.amp)
         self.n_samples = tn.get("N_samples", mc.get("N_samples", 256))
         self.n_rand = tn.get("N_rand", mc.get("N_rand", 5000))
         self.white_bkgd = tn.get("white_bkgd", mc.get("white_bkgd", True))
@@ -215,8 +221,13 @@ class NeRFPipeline:
 
     def encode_planes(self, params, cloud, rng):
         fea = self.pointnet.apply({"params": params["pointnet"]}, cloud)
+        # run the VAE in its params' dtype (bf16 under model.amp — flax
+        # promotion would silently bounce back to fp32 on fp32 activations)
+        p_dtype = jax.tree_util.tree_leaves(params["vae"])[0].dtype
         posts = self.vae.apply(
-            {"params": params["vae"]}, (fea["xy"], fea["yz"], fea["xz"]),
+            {"params": params["vae"]},
+            (fea["xy"].astype(p_dtype), fea["yz"].astype(p_dtype),
+             fea["xz"].astype(p_dtype)),
             method=self.vae.encode,
         )
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -272,6 +283,8 @@ class NeRFPipeline:
     def stage1_loss(self, params, sn_state, batch, rng, step):
         """20*sum|rgb - target| over sampled rays + KL + SN
         (tools/d2c_vae/nerf.py:215-238)."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
         lc = self.lc
         rng_enc, rng_scene = jax.random.split(rng)
         cloud = batch["points"]       # (b, n, 6)
@@ -279,8 +292,14 @@ class NeRFPipeline:
         pose = batch["pose"]          # (b, 4, 4)
         b = cloud.shape[0]
 
-        z, posts = self.encode_planes(params, cloud, rng_enc)
-        planes = self.decode_planes({"vae": params["vae"]}, z)
+        # bf16 compute region (fp32 master params; rays/compositing fp32)
+        p_cast = dict(
+            params,
+            vae=compute_cast(params["vae"], self.amp),
+            mlp=compute_cast(params["mlp"], self.amp),
+        )
+        z, posts = self.encode_planes(p_cast, cloud, rng_enc)
+        planes = self.decode_planes({"vae": p_cast["vae"]}, z)
 
         H, W = image.shape[1:3]
 
@@ -298,14 +317,14 @@ class NeRFPipeline:
             ro = rays_o.reshape(-1, 3)[idx]
             rd = rays_d.reshape(-1, 3)[idx]
             target = image_1.reshape(-1, 3)[idx]
-            rgb = self.render_rays(params["mlp"], planes_1, ro, rd, rng_ray)
+            rgb = self.render_rays(p_cast["mlp"], planes_1, ro, rd, rng_ray)
             return 20.0 * jnp.sum(jnp.abs(rgb - target))
 
         recon = jax.vmap(per_scene)(
             planes, image, pose, jax.random.split(rng_scene, b)
         ).mean()
 
-        kld = sum(p.kl() for p in posts).mean()
+        kld = sum(f32(p.kl()) for p in posts).mean()
         total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
         if lc.kl_anneal:
             kl_coeff = linear_kl_coeff(

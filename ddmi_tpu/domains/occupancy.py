@@ -82,6 +82,13 @@ class OccupancyPipeline:
         self.unet = UNet(m.unetconfig, dtype=dtype)
         self.gd = GaussianDiffusion.from_config(m.ddpmconfig)
         self.lc = m.lossconfig
+        # model.amp: bf16 compute for the stage-1 VAE/MLP3D forward (fp32
+        # master params + fp32 loss reductions, core/amp.py) — the reference
+        # trains every domain under Accelerate fp16 autocast
+        # (tools/d2c_vae/occupancy.py:37-39).  The pointnet stays fp32: its
+        # coordinate2index scatter needs exact coordinates and it is a small
+        # share of the step.
+        self.amp = bool(m.amp)
         self.latent_res = m.ddconfig.resolution // 2 ** (len(m.ddconfig.ch_mult) - 1)
 
     # ---------------------------------------------------------------- stage 1
@@ -133,7 +140,11 @@ class OccupancyPipeline:
 
     def _encode_decode(self, params, cloud, rng):
         fea = self.pointnet.apply({"params": params["pointnet"]}, cloud)
-        planes = (fea["xy"], fea["yz"], fea["xz"])
+        # run the VAE in its params' dtype (bf16 under model.amp — flax
+        # promotion would silently bounce back to fp32 on fp32 activations)
+        p_dtype = jax.tree_util.tree_leaves(params["vae"])[0].dtype
+        planes = (fea["xy"].astype(p_dtype), fea["yz"].astype(p_dtype),
+                  fea["xz"].astype(p_dtype))
         pyramids, posts = self.vae.apply(
             {"params": params["vae"]}, planes, rng, sample_posterior=True
         )
@@ -147,11 +158,21 @@ class OccupancyPipeline:
         points = batch["points"]     # (b, 2048, 3) query points
         occ = batch["occ"]           # (b, 2048) in {0,1}
 
-        pyramids, posts = self._encode_decode(params, cloud, rng)
-        logits = self.mlp.apply({"params": params["mlp"]}, points, pyramids)
-        bce = optax.sigmoid_binary_cross_entropy(logits, occ).sum(-1).mean()
+        from ddmi_tpu.core.amp import compute_cast, f32
 
-        kld = sum(p.kl() for p in posts).mean()
+        # bf16 compute region (fp32 master params; query coords stay fp32)
+        p_cast = dict(
+            params,
+            vae=compute_cast(params["vae"], self.amp),
+            mlp=compute_cast(params["mlp"], self.amp),
+        )
+        pyramids, posts = self._encode_decode(p_cast, cloud, rng)
+        logits = self.mlp.apply({"params": p_cast["mlp"]}, points, pyramids)
+        bce = optax.sigmoid_binary_cross_entropy(
+            f32(logits), occ
+        ).sum(-1).mean()
+
+        kld = sum(f32(p.kl()) for p in posts).mean()
         total_iters = jnp.maximum(getattr(self, "_stage1_total_iters", 100_000), 1)
         if lc.kl_anneal:
             kl_coeff = linear_kl_coeff(
