@@ -32,6 +32,11 @@ from ddmi_tpu.core.config import load_config
 
 CELLS = [
     ("d2c-vae", "configs/d2c-vae/celebahq.yaml", "image-s1"),
+    # image s2 at the afhq/celebahq-256 ADM-UNet shape (64^2x64 latents,
+    # 256 model channels — the bench.py flagship denoiser); celebahq's
+    # 1.01B variant needs fsdp: 2 (docs/SCALING.md) and is covered by
+    # tests/test_production_fsdp.py instead
+    ("ldm", "configs/ldm/afhq.yaml", "image-s2"),
     ("d2c-vae", "configs/d2c-vae/skytimelapse.yaml", "video-s1"),
     ("ldm", "configs/ldm/skytimelapse.yaml", "video-s2"),
     ("d2c-vae", "configs/d2c-vae/shapenet.yaml", "occupancy-s1"),

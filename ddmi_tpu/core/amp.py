@@ -33,3 +33,23 @@ def compute_cast(tree, enabled: bool):
 def f32(x):
     """Promote back to fp32 for loss reductions."""
     return x.astype(jnp.float32)
+
+
+def amp_denoiser(apply_fn, params, enabled: bool):
+    """Wrap a stage-2 denoiser apply into the bf16 compute policy.
+
+    The reference autocasts its WHOLE stage-2 step
+    (tools/ldm/image.py:152 `accelerator.autocast()` around encode + UNet +
+    loss); here only the denoiser forward is cast — bf16 params + bf16
+    input on the MXU, fp32 output — so the noise/schedule math and loss
+    reductions in diffusion/process.py stay fp32 (negligible bytes, exact).
+    Gradients accumulate back to the fp32 master params through the cast's
+    transpose.  `apply_fn(params, x, t, **kw)` is the uncast apply."""
+    p = compute_cast(params, enabled)
+
+    def model_fn(x, t, **kw):
+        if enabled:
+            x = x.astype(jnp.bfloat16)
+        return f32(apply_fn(p, x, t, **kw))
+
+    return model_fn

@@ -432,17 +432,25 @@ class ImagePipeline:
         return jax.lax.stop_gradient(f32(posterior.sample(rng)))
 
     def stage2_loss(self, params, stage1_params, x, rng):
+        from ddmi_tpu.core.amp import amp_denoiser
+
         rng_enc, rng_diff, rng_mask = jax.random.split(rng, 3)
         z = self.encode_latents(stage1_params, x, rng_enc)
+        # model.amp: denoiser forward in bf16, diffusion math fp32
+        # (core/amp.py::amp_denoiser; reference autocasts the whole step,
+        # tools/ldm/image.py:152)
         if self.is_dit and self.cfg.model.ditconfig.mask_ratio is not None:
             # MDTv2 masked training (maskedtransformer.py:395-422)
-            model_fn = lambda xt, t: self.unet.apply(
-                {"params": params["unet"]}, xt, t,
-                enable_mask=True, rng=rng_mask,
+            model_fn = amp_denoiser(
+                lambda p, xt, t: self.unet.apply(
+                    {"params": p}, xt, t, enable_mask=True, rng=rng_mask,
+                ),
+                params["unet"], self.amp,
             )
         else:
-            model_fn = lambda xt, t: self.unet.apply(
-                {"params": params["unet"]}, xt, t
+            model_fn = amp_denoiser(
+                lambda p, xt, t: self.unet.apply({"params": p}, xt, t),
+                params["unet"], self.amp,
             )
         loss, aux = diffusion_loss(
             self.gd, model_fn, params["mixing_logit"], z, rng_diff

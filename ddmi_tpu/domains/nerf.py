@@ -396,10 +396,20 @@ class NeRFPipeline:
         return stage2_adamw(self.cfg)
 
     def stage2_loss(self, params, stage1_params, batch, rng):
+        from ddmi_tpu.core.amp import amp_denoiser, compute_cast, f32
+
         rng_enc, rng_diff = jax.random.split(rng)
-        z, _ = self.encode_planes(stage1_params, batch["points"], rng_enc)
-        z = jax.lax.stop_gradient(z)
-        model_fn = lambda xt, t: self.unet.apply({"params": params["unet"]}, xt, t)
+        # frozen stage-1 encode in bf16 under model.amp (encode_planes runs
+        # in the params' dtype); fp32 tokens for exact diffusion math
+        z, _ = self.encode_planes(
+            compute_cast(stage1_params, self.amp), batch["points"], rng_enc
+        )
+        z = jax.lax.stop_gradient(f32(z))
+        # bf16 denoiser forward / fp32 diffusion math (core/amp.py)
+        model_fn = amp_denoiser(
+            lambda p, xt, t: self.unet.apply({"params": p}, xt, t),
+            params["unet"], self.amp,
+        )
         return diffusion_loss(self.gd, model_fn, params["mixing_logit"], z, rng_diff)
 
     def stage2_train_step(self, tx, state: Stage2State, stage1_params, batch, rng):

@@ -252,21 +252,33 @@ class OccupancyPipeline:
 
     def encode_latents(self, stage1_params, cloud, rng):
         """z = channel-concat sampled plane latents [xy|xz|yz]
-        (tools/ldm/occupancy.py:164-166)."""
-        fea = self.pointnet.apply({"params": stage1_params["pointnet"]}, cloud)
+        (tools/ldm/occupancy.py:164-166).  Frozen encoder runs bf16 under
+        model.amp; tokens return fp32 for exact diffusion math."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
+        amp = bool(self.cfg.model.amp)
+        p1 = compute_cast(stage1_params, amp)
+        fea = self.pointnet.apply({"params": p1["pointnet"]}, cloud)
         posts = self.vae.apply(
-            {"params": stage1_params["vae"]},
-            (fea["xy"], fea["yz"], fea["xz"]),
+            {"params": p1["vae"]},
+            (compute_cast(fea["xy"], amp), compute_cast(fea["yz"], amp),
+             compute_cast(fea["xz"], amp)),
             method=self.vae.encode,
         )
         r1, r2, r3 = jax.random.split(rng, 3)
         xy, yz, xz = posts[0].sample(r1), posts[1].sample(r2), posts[2].sample(r3)
-        return jax.lax.stop_gradient(jnp.concatenate([xy, xz, yz], axis=-1))
+        return jax.lax.stop_gradient(f32(jnp.concatenate([xy, xz, yz], axis=-1)))
 
     def stage2_loss(self, params, stage1_params, batch, rng):
+        from ddmi_tpu.core.amp import amp_denoiser
+
         rng_enc, rng_diff = jax.random.split(rng)
         z = self.encode_latents(stage1_params, batch["inputs"], rng_enc)
-        model_fn = lambda xt, t: self.unet.apply({"params": params["unet"]}, xt, t)
+        # bf16 denoiser forward / fp32 diffusion math (core/amp.py)
+        model_fn = amp_denoiser(
+            lambda p, xt, t: self.unet.apply({"params": p}, xt, t),
+            params["unet"], bool(self.cfg.model.amp),
+        )
         return diffusion_loss(self.gd, model_fn, params["mixing_logit"], z, rng_diff)
 
     def stage2_train_step(self, tx, state: Stage2State, stage1_params, batch, rng):

@@ -359,21 +359,33 @@ class VideoPipeline:
 
     def encode_latents(self, stage1_params, x, rng):
         """Frozen encode -> sampled [xy|xt|yt] tokens, stop-grad
-        (tools/ldm/video.py:142-154)."""
-        xs = symmetrize(x)
+        (tools/ldm/video.py:142-154).  Runs bf16 under model.amp (frozen —
+        no gradient precision concern); tokens return fp32 so the diffusion
+        math stays exact."""
+        from ddmi_tpu.core.amp import compute_cast, f32
+
+        amp = bool(self.cfg.model.amp)
+        xs = compute_cast(symmetrize(x), amp)
         posts = self.vae.apply(
-            {"params": stage1_params["vae"]}, xs, method=self.vae.encode
+            {"params": compute_cast(stage1_params["vae"], amp)},
+            xs, method=self.vae.encode,
         )
         r1, r2, r3 = jax.random.split(rng, 3)
         xy, yt, xt = (
             posts[0].sample(r1), posts[1].sample(r2), posts[2].sample(r3)
         )
-        return jax.lax.stop_gradient(_cat_planes(xy, xt, yt))
+        return jax.lax.stop_gradient(f32(_cat_planes(xy, xt, yt)))
 
     def stage2_loss(self, params, stage1_params, x, rng):
+        from ddmi_tpu.core.amp import amp_denoiser
+
         rng_enc, rng_diff = jax.random.split(rng)
         z = self.encode_latents(stage1_params, x, rng_enc)
-        model_fn = lambda xt_, t: self.unet.apply({"params": params["unet"]}, xt_, t)
+        # bf16 denoiser forward / fp32 diffusion math (core/amp.py)
+        model_fn = amp_denoiser(
+            lambda p, xt_, t: self.unet.apply({"params": p}, xt_, t),
+            params["unet"], bool(self.cfg.model.amp),
+        )
         return diffusion_loss(self.gd, model_fn, params["mixing_logit"], z, rng_diff)
 
     def stage2_train_step(self, tx, state: Stage2State, stage1_params, x, rng):
