@@ -51,7 +51,12 @@ VIEW_RES = 128
 # bound, not FLOP-bound).  Op counts measured from the actual reference
 # modules (bench_refops.py -> refops.json); derivation + generosity
 # direction in bench_baseline.py.
-from bench_baseline import baseline_fields, flops_per_item, load_refops
+from bench_baseline import (
+    baseline_fields,
+    flops_of,
+    flops_per_item,
+    load_refops,
+)
 
 
 def _bf16(tree):
