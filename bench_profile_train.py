@@ -48,11 +48,16 @@ def build_step(cell):
     if exp == "d2c-vae":
         state = pipe.init_stage1(rng, steps_per_epoch=10)
         tx = pipe.stage1_optimizer(10)
+        # LPIPS params as a jit ARG, not a closure (evals/lpips.py)
+        pp = getattr(pipe, "perceptual_params", None)
         step = jax.jit(
-            lambda s, x, r: pipe.stage1_train_step(tx, s, x, r),
+            lambda s, x, r, pp: pipe.stage1_train_step(
+                tx, s, x, r,
+                **({} if pp is None else {"perceptual_params": pp})
+            ),
             donate_argnums=(0,),
         )
-        return lambda s, i: step(s, batch, jax.random.PRNGKey(i)), state
+        return lambda s, i: step(s, batch, jax.random.PRNGKey(i), pp), state
     s1_params = pipe.init_stage1(rng, steps_per_epoch=10).params
     state = pipe.init_stage2(rng, steps_per_epoch=10)
     tx = pipe.stage2_optimizer()

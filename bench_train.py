@@ -117,10 +117,14 @@ def bench(exp, path, name):
     if exp == "d2c-vae":
         state = pipe.init_stage1(rng, steps_per_epoch=10)
         tx = pipe.stage1_optimizer(10)
-        fn = lambda s, x, r: pipe.stage1_train_step(tx, s, x, r)
+        # LPIPS params as a jit ARG, not a closure (evals/lpips.py)
+        pp = getattr(pipe, "perceptual_params", None)
+        fn = lambda s, x, r, pp: pipe.stage1_train_step(
+            tx, s, x, r, **({} if pp is None else {"perceptual_params": pp})
+        )
         step = jax.jit(fn, donate_argnums=(0,))
-        run = lambda s, i: step(s, batch, jax.random.PRNGKey(i))
-        lowered = jax.jit(fn).lower(state, batch, rng)
+        run = lambda s, i: step(s, batch, jax.random.PRNGKey(i), pp)
+        lowered = jax.jit(fn).lower(state, batch, rng, pp)
     else:
         s1_params = pipe.init_stage1(rng, steps_per_epoch=10).params
         state = pipe.init_stage2(rng, steps_per_epoch=10)
@@ -160,18 +164,22 @@ def decompose_image_s1():
         bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
         state = pipe.init_stage1(jax.random.PRNGKey(0), steps_per_epoch=10)
         tx = pipe.stage1_optimizer(10)
+        pp = getattr(pipe, "perceptual_params", None)
         if fwd_only:
-            fn = lambda s, x, r: (
-                s, pipe.stage1_loss(s.params, s.sn_state, x, r, s.step)[0]
+            fn = lambda s, x, r, pp: (
+                s, pipe.stage1_loss(s.params, s.sn_state, x, r, s.step,
+                                    pp)[0]
             )
             donate = ()
         else:
-            fn = lambda s, x, r: pipe.stage1_train_step(tx, s, x, r)
+            fn = lambda s, x, r, pp: pipe.stage1_train_step(
+                tx, s, x, r, perceptual_params=pp
+            )
             donate = (0,)
         step = jax.jit(fn, donate_argnums=donate)
-        run = lambda s, i: step(s, batch, jax.random.PRNGKey(i))
+        run = lambda s, i: step(s, batch, jax.random.PRNGKey(i), pp)
         flops, hbm = _cost(
-            jax.jit(fn).lower(state, batch, jax.random.PRNGKey(0)).compile()
+            jax.jit(fn).lower(state, batch, jax.random.PRNGKey(0), pp).compile()
         )
         dt = _time_step(run, state)
         _report(f"image-s1/{vname}", bs, dt, flops, hbm)

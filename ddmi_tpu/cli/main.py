@@ -129,7 +129,12 @@ def build_perceptual(cfg):
         x = jnp.zeros((1, 64, 64, 3))
         params = model.init(_jax.random.PRNGKey(0), x, x)["params"]
 
-    return lambda target, output: model.apply({"params": params}, target, output)
+    from ddmi_tpu.evals.lpips import PerceptualLoss
+
+    return PerceptualLoss(
+        lambda p, target, output: model.apply({"params": p}, target, output),
+        params,
+    )
 
 
 def build_pipeline(cfg):

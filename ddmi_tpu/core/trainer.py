@@ -207,13 +207,19 @@ class Trainer:
         state_sh = self._state_shardings(state)
         state = jax.device_put(state, state_sh)
 
-        def _step(s, x, r):
-            new_s, m = self.pipe.stage1_train_step(tx, s, x, r)
+        # LPIPS params flow in as a jit ARGUMENT (closed over they would be
+        # embedded as ~59 MB of program constants — evals/lpips.py).
+        pp = getattr(self.pipe, "perceptual_params", None)
+
+        def _step(s, x, r, pp):
+            kw = {} if pp is None else {"perceptual_params": pp}
+            new_s, m = self.pipe.stage1_train_step(tx, s, x, r, **kw)
             # Pin the output state to the input layout so sharding stays
             # stable across steps (donation + GSPMD could otherwise drift).
             return jax.lax.with_sharding_constraint(new_s, state_sh), m
 
-        step_fn = jax.jit(_step, donate_argnums=(0,))
+        jit_fn = jax.jit(_step, donate_argnums=(0,))
+        step_fn = lambda s, x, r: jit_fn(s, x, r, pp)
         epochs = epochs or self.pipe.lc.epochs
         rng = jax.random.PRNGKey(cfg.seed + 1)
         save_every = self.pipe.lc.save_and_sample_every

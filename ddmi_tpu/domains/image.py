@@ -184,7 +184,15 @@ class ImagePipeline:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         return tx
 
-    def stage1_loss(self, params, sn_state, x, rng, step):
+    @property
+    def perceptual_params(self):
+        """Frozen LPIPS params, or None.  Thread these through jit call
+        boundaries as an argument (evals/lpips.py::PerceptualLoss — a
+        closed-over VGG embeds 59 MB of constants into the program)."""
+        return getattr(self.perceptual_fn, "params", None)
+
+    def stage1_loss(self, params, sn_state, x, rng, step,
+                    perceptual_params=None):
         """Multiscale recon + KL(annealed) + LPIPS + SN-reg
         (tools/d2c_vae/image.py:177-233)."""
         from ddmi_tpu.core.amp import compute_cast, f32
@@ -235,7 +243,12 @@ class ImagePipeline:
         loss = recon + kl_coeff * kld
 
         if self.perceptual_fn is not None:
-            p_loss = self.perceptual_fn(target, output).mean()
+            if perceptual_params is not None:
+                p_loss = self.perceptual_fn.apply(
+                    perceptual_params, target, output
+                ).mean()
+            else:  # legacy closure path (embeds constants; tests only)
+                p_loss = self.perceptual_fn(target, output).mean()
             loss = loss + lc.perceptual_weight * p_loss
         else:
             p_loss = jnp.float32(0.0)
@@ -276,11 +289,13 @@ class ImagePipeline:
 
         return diff_augment(x, rng, policy=self.diffaug_policy)
 
-    def stage1_train_step(self, tx, state: Stage1State, x, rng):
+    def stage1_train_step(self, tx, state: Stage1State, x, rng,
+                          perceptual_params=None):
         if self.gan is None:
             (_, (metrics, sn_state, _)), grads = jax.value_and_grad(
                 self.stage1_loss, has_aux=True
-            )(state.params, state.sn_state, x, rng, state.step)
+            )(state.params, state.sn_state, x, rng, state.step,
+              perceptual_params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (
@@ -292,9 +307,11 @@ class ImagePipeline:
                 ),
                 metrics,
             )
-        return self._stage1_adv_train_step(tx, state, x, rng)
+        return self._stage1_adv_train_step(tx, state, x, rng,
+                                           perceptual_params)
 
-    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng):
+    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng,
+                               perceptual_params=None):
         """Adversarial stage-1 step: generator (VAE+MLP) and discriminator
         update fused in one compiled program sharing the recon forward.
 
@@ -308,7 +325,7 @@ class ImagePipeline:
 
         def g_loss_fn(params, disc_params):
             base, (metrics, sn_state, (target, output, scale)) = self.stage1_loss(
-                params, state.sn_state, x, rng, state.step
+                params, state.sn_state, x, rng, state.step, perceptual_params
             )
             g_gan = self.gan.apply(
                 {"params": disc_params},

@@ -164,7 +164,13 @@ class VideoPipeline:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         return tx
 
-    def stage1_loss(self, params, sn_state, x, rng, step):
+    @property
+    def perceptual_params(self):
+        """Frozen LPIPS params, or None (see image.py::perceptual_params)."""
+        return getattr(self.perceptual_fn, "params", None)
+
+    def stage1_loss(self, params, sn_state, x, rng, step,
+                    perceptual_params=None):
         """Full-clip L1 recon + per-frame LPIPS + summed triplane KL + SN-reg
         (tools/d2c_vae/video.py:190-242)."""
         from ddmi_tpu.core.amp import compute_cast, f32
@@ -218,7 +224,12 @@ class VideoPipeline:
             sel = lambda v: jnp.take_along_axis(
                 v, fi.reshape(b, 1, 1, 1, 1), axis=1
             ).squeeze(1)
-            p_loss = self.perceptual_fn(sel(x), sel(output)).mean()
+            if perceptual_params is not None:
+                p_loss = self.perceptual_fn.apply(
+                    perceptual_params, sel(x), sel(output)
+                ).mean()
+            else:  # legacy closure path (embeds constants; tests only)
+                p_loss = self.perceptual_fn(sel(x), sel(output)).mean()
             loss = loss + lc.perceptual_weight * p_loss
         else:
             p_loss = jnp.float32(0.0)
@@ -246,11 +257,13 @@ class VideoPipeline:
         (tools/d2c_vae/video.py disc optimizer)."""
         return optax.adamw(self.cfg.model.lr, b1=0.5, b2=0.9, weight_decay=0.0)
 
-    def stage1_train_step(self, tx, state: Stage1State, x, rng):
+    def stage1_train_step(self, tx, state: Stage1State, x, rng,
+                          perceptual_params=None):
         if self.gan is None:
             (_, (metrics, sn_state, _)), grads = jax.value_and_grad(
                 self.stage1_loss, has_aux=True
-            )(state.params, state.sn_state, x, rng, state.step)
+            )(state.params, state.sn_state, x, rng, state.step,
+              perceptual_params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (
@@ -258,9 +271,11 @@ class VideoPipeline:
                               opt_state=opt_state, sn_state=sn_state),
                 metrics,
             )
-        return self._stage1_adv_train_step(tx, state, x, rng)
+        return self._stage1_adv_train_step(tx, state, x, rng,
+                                           perceptual_params)
 
-    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng):
+    def _stage1_adv_train_step(self, tx, state: Stage1State, x, rng,
+                               perceptual_params=None):
         """Fused G+D update with the 2D(per-frame)+3D discriminator pair
         (losses/gan.py GANLoss3D; reference alternates optimizers,
         tools/d2c_vae/video.py — see image.py._stage1_adv_train_step for the
@@ -271,7 +286,7 @@ class VideoPipeline:
 
         def g_loss_fn(params, disc_params):
             base, (metrics, sn_state, (target, output)) = self.stage1_loss(
-                params, state.sn_state, x, rng, state.step
+                params, state.sn_state, x, rng, state.step, perceptual_params
             )
             g_gan = self.gan.apply(
                 {"params": disc_params}, target, output, True, frame_idx

@@ -94,6 +94,28 @@ class LPIPS(nn.Module):
         return total
 
 
+class PerceptualLoss:
+    """LPIPS apply bundled with its frozen params.
+
+    The params pytree MUST flow into jitted losses as an ARGUMENT: a
+    closed-over VGG16 (14.7M params, 59 MB fp32) is embedded into the
+    lowered program as dense MLIR constants — measured 118 MB of MLIR text
+    on the video stage-1 step, enough to OOM-SIGKILL the TPU compile
+    helper.  Callers inside jit use `.apply(params, target, output)` with
+    params threaded from outside; the legacy 2-arg `__call__` (which embeds)
+    remains for tiny-config tests and eval-time one-offs."""
+
+    def __init__(self, apply_fn, params):
+        self._apply = apply_fn
+        self.params = params
+
+    def apply(self, params, target, output):
+        return self._apply(params, target, output)
+
+    def __call__(self, target, output):
+        return self._apply(self.params, target, output)
+
+
 def load_torch_weights(
     vgg_state: Dict[str, Any], lin_state: Optional[Dict[str, Any]] = None
 ) -> Dict[str, Any]:
