@@ -45,25 +45,28 @@ def build_step(cell):
         raise SystemExit(f"unknown cell {cell}")
     cfg, pipe, batch = _setup(exp, path)
     rng = jax.random.PRNGKey(0)
+    build_step.lowered = None  # set below; used for HLO op provenance
     if exp == "d2c-vae":
         state = pipe.init_stage1(rng, steps_per_epoch=10)
         tx = pipe.stage1_optimizer(10)
         # LPIPS params as a jit ARG, not a closure (evals/lpips.py)
         pp = getattr(pipe, "perceptual_params", None)
-        step = jax.jit(
-            lambda s, x, r, pp: pipe.stage1_train_step(
-                tx, s, x, r,
-                **({} if pp is None else {"perceptual_params": pp})
-            ),
-            donate_argnums=(0,),
+        fn = lambda s, x, r, pp: pipe.stage1_train_step(
+            tx, s, x, r,
+            **({} if pp is None else {"perceptual_params": pp})
+        )
+        step = jax.jit(fn, donate_argnums=(0,))
+        build_step.lowered = lambda: jax.jit(fn).lower(
+            state, batch, rng, pp
         )
         return lambda s, i: step(s, batch, jax.random.PRNGKey(i), pp), state
     s1_params = pipe.init_stage1(rng, steps_per_epoch=10).params
     state = pipe.init_stage2(rng, steps_per_epoch=10)
     tx = pipe.stage2_optimizer()
-    step = jax.jit(
-        lambda s, p1, x, r: pipe.stage2_train_step(tx, s, p1, x, r),
-        donate_argnums=(0,),
+    fn2 = lambda s, p1, x, r: pipe.stage2_train_step(tx, s, p1, x, r)
+    step = jax.jit(fn2, donate_argnums=(0,))
+    build_step.lowered = lambda: jax.jit(fn2).lower(
+        state, s1_params, batch, rng
     )
     return lambda s, i: step(s, s1_params, batch, jax.random.PRNGKey(i)), state
 
@@ -171,11 +174,31 @@ def main():
         }
     }), flush=True)
 
+    # Map profiled op names to HLO metadata (op_name carries the jax source
+    # scope, e.g. "jit(_step)/.../conv_general_dilated") so hot fusions are
+    # attributable without guessing.  The optimized-HLO dump comes from the
+    # same (cached) compile the profiled step used.
+    provenance = {}
+    try:
+        hlo = build_step.lowered().compile().as_text()
+        pat = re.compile(
+            r"%?([a-zA-Z0-9_.\-]+) = [^\n]*?metadata=\{[^}]*?"
+            r'op_name="([^"]*)"'
+        )
+        for m in pat.finditer(hlo):
+            provenance.setdefault(m.group(1), m.group(2))
+    except Exception as e:  # provenance is best-effort
+        print(json.dumps({"provenance_error": str(e)[:200]}), flush=True)
+
     for name, dur in per_op.most_common(TOPK):
-        print(json.dumps({
+        rec = {
             "op": name[:120], "ms_per_step": round(dur / 1000 / STEPS, 3),
             "pct": round(100 * dur / total, 2),
-        }), flush=True)
+        }
+        src = provenance.get(name) or provenance.get(name.split(".remat")[0])
+        if src:
+            rec["src"] = src[-160:]
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
