@@ -48,10 +48,14 @@ def coord_grid_video(
     """Triplane coordinate dict for video (general_utils.py:38-52).
     Channel orders match the reference: xy plane -> (x, y); xt -> (t, x);
     yt -> (t, y).  Shapes (1, n1*n2, 2) token-major plus the ('hw') tuple
-    consumed by triplane_pe_concat_video."""
-    xs = jnp.linspace(-1, 1, w)
-    ys = jnp.linspace(-1, 1, h)
-    ts = jnp.linspace(-1, 1, t)
+    consumed by triplane_pe_concat_video.  Pixel-center endpoints
+    [-(n-1)/n, (n-1)/n] — the values the reference trainers pass
+    (tools/d2c_vae/video.py:167: -255/256 for 256 px, -15/16 for 16 frames),
+    not convert_to_coord_format_3d's [-1,1] defaults."""
+    e = lambda n: (n - 1) / n
+    xs = jnp.linspace(-e(w), e(w), w)
+    ys = jnp.linspace(-e(h), e(h), h)
+    ts = jnp.linspace(-e(t), e(t), t)
 
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
     xy = jnp.stack([gx, gy], -1).reshape(1, h * w, 2)

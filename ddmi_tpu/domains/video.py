@@ -34,10 +34,17 @@ from ddmi_tpu.ops.resample import pixel_center_lin
 
 
 def video_axes(t: int, h: int, w: int):
-    """Regular-grid coordinate axes in [-1,1] for the video INR
-    (convert_to_coord_format_3d endpoints, general_utils.py:38-52)."""
-    lin = lambda n: jnp.linspace(-1.0, 1.0, n)
-    return {"axes": (lin(t), lin(h), lin(w)), "hw": (h, w)}
+    """Pixel-center coordinate axes [-(n-1)/n, (n-1)/n] for the video INR.
+
+    The reference passes exactly these endpoints to
+    convert_to_coord_format_3d at train AND eval time
+    (tools/d2c_vae/video.py:167: hstart=-255/256 for 256 pixels,
+    tstart=-15/16 for 16 frames; same in tools/ldm/video.py:207-210) — NOT
+    the function's [-1,1] defaults.  The golden video test
+    (tests/test_golden_video.py) asserts this convention against the actual
+    reference modules."""
+    return {"axes": (pixel_center_lin(t), pixel_center_lin(h),
+                     pixel_center_lin(w)), "hw": (h, w)}
 
 
 @dataclasses.dataclass
@@ -194,8 +201,8 @@ class VideoPipeline:
         # production scale (16f x 256^2 OOM'd a 16 GB v5e).  Per-frame
         # recompute bounds it to res^2 tokens; token order matches the
         # single-call video_axes path (t-major).
-        ys = jnp.linspace(-1.0, 1.0, self.res)
-        ts = jnp.linspace(-1.0, 1.0, t)
+        ys = pixel_center_lin(self.res)
+        ts = pixel_center_lin(t)
 
         def render_frame(t1):
             coords = {"axes": (t1.reshape(1), ys, ys)}
@@ -454,8 +461,8 @@ class VideoPipeline:
         # (t*res^2, e.g. 1M tokens at 256^2 x 16f) would hold every MLP
         # activation live at once (same chunking rationale as
         # ImagePipeline._render_grid)
-        ys = jnp.linspace(-1.0, 1.0, self.res)
-        ts = jnp.linspace(-1.0, 1.0, self.frames)
+        ys = pixel_center_lin(self.res)
+        ts = pixel_center_lin(self.frames)
 
         def render_frame(t1):
             coords = {"axes": (t1.reshape(1), ys, ys),

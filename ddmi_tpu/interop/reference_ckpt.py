@@ -886,7 +886,12 @@ def convert_video_vae(sd: SD, cfg: DDConfig) -> dict:
         )
         out[f"pre_{t}"] = _dense_from_1x1(src, f"pre_{t}")
         out[f"post_{t}"] = _dense_from_1x1(src, f"post_{t}")
-    src.finish()
+    # Rotary-embedding buffers are deterministic functions of the dims
+    # (vit_modules.py:36,65: logspace scales / 10000^(-2i/d) inv freqs) —
+    # our TimeSformer recomputes them (nn/vit.py), nothing to copy.
+    src.finish(ignore_unused=(
+        "encoder.frame_rot_emb.", "encoder.image_rot_emb.",
+    ))
     return out
 
 

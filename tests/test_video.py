@@ -182,8 +182,10 @@ def test_sample_videos_framewise_render_matches_full_grid(vpipe, np_rng):
     full = vpipe.mlp.apply({"params": s1.params["mlp"]}, coords, hdbf)
     full = np.asarray(full.reshape(1, 4, 32, 32, -1))
 
-    ys = jnp.linspace(-1.0, 1.0, 32)
-    ts = jnp.linspace(-1.0, 1.0, 4)
+    from ddmi_tpu.ops.resample import pixel_center_lin
+
+    ys = pixel_center_lin(32)
+    ts = pixel_center_lin(4)
 
     def render_frame(t1):
         c = {"axes": (t1.reshape(1), ys, ys), "hw": (32, 32)}
