@@ -42,7 +42,16 @@ def video_axes(t: int, h: int, w: int):
     tstart=-15/16 for 16 frames; same in tools/ldm/video.py:207-210) — NOT
     the function's [-1,1] defaults.  The golden video test
     (tests/test_golden_video.py) asserts this convention against the actual
-    reference modules."""
+    reference modules.
+
+    INTENTIONAL divergence from the reference's generate() path: at
+    tools/ldm/video.py:217 the reference passes an asymmetric
+    wend=255/test_resolution (apparent upstream typo — every train/eval
+    call site uses the symmetric ±(n-1)/n above, and the two agree only at
+    test_resolution=256).  We use the symmetric convention at ALL
+    resolutions, so bit-parity with the reference's generate() output holds
+    at 256 but silently diverges at any other test_resolution — that is
+    the typo reproducing, not a bug here."""
     return {"axes": (pixel_center_lin(t), pixel_center_lin(h),
                      pixel_center_lin(w)), "hw": (h, w)}
 

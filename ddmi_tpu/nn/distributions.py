@@ -32,9 +32,20 @@ class DiagonalGaussian(NamedTuple):
         return jnp.exp(self.logvar)
 
     def sample(self, rng: jax.Array) -> jnp.ndarray:
-        return self.mean + self.std * jax.random.normal(
-            rng, self.mean.shape, self.mean.dtype
+        """Reparameterized sample.  The noise is drawn and the sample formed
+        in fp32 REGARDLESS of the moments' dtype, then cast back: the
+        reference's `torch.randn(shape)` (distributions.py:16) is fp32 even
+        under fp16 autocast (randn is not an autocast op), and drawing in
+        bf16 would produce a DIFFERENT random realization — not a rounded
+        one — making amp a re-randomization instead of a rounding
+        perturbation (round-5 amp-parity finding: z diverged ~100% of its
+        std under amp before this; ~1% after)."""
+        eps = jax.random.normal(rng, self.mean.shape, jnp.float32)
+        s = (
+            self.mean.astype(jnp.float32)
+            + self.std.astype(jnp.float32) * eps
         )
+        return s.astype(self.mean.dtype)
 
     def mode(self) -> jnp.ndarray:
         return self.mean

@@ -202,7 +202,13 @@ class NoiseInjection(nn.Module):
         weight = self.param("weight", nn.initializers.zeros, (1,))
         if noise is None:
             shape = x.shape[:-1] + (1,)
-            noise = jax.random.normal(self.make_rng("noise"), shape, x.dtype)
+            # draw fp32 then cast: a bf16 draw under model.amp is a
+            # DIFFERENT realization, not a rounded one (the reference's
+            # torch.randn is fp32 even under autocast; see
+            # nn/distributions.py::sample)
+            noise = jax.random.normal(
+                self.make_rng("noise"), shape, jnp.float32
+            ).astype(x.dtype)
         return x + weight * noise
 
 

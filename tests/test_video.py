@@ -240,3 +240,31 @@ def test_per_frame_render_matches_full_grid(np_rng):
     np.testing.assert_allclose(
         np.asarray(stitched), np.asarray(full), atol=1e-5, rtol=1e-5
     )
+
+
+def test_coord_grid_video_matches_video_axes():
+    """Drift guard (ADVICE round 4): coord_grid_video's token-major grids
+    must stay consistent with the pixel-center axes video_axes feeds the
+    INR — same endpoints (pixel_center_lin), same channel orders
+    (xy->(x,y), xt->(t,x), yt->(t,y); general_utils.py:38-52)."""
+    from ddmi_tpu.core.coords import coord_grid_video
+    from ddmi_tpu.ops.resample import pixel_center_lin
+
+    h, w, t = 4, 6, 3
+    g = coord_grid_video(h, w, t)
+    ax = video_axes(t, h, w)["axes"]
+    ts, ys, xs = ax[0], ax[1], ax[2]
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(pixel_center_lin(w)))
+    assert g["hw"] == (h, w)
+
+    xy = np.asarray(g["xy"]).reshape(h, w, 2)
+    for i, j in [(0, 0), (1, 3), (h - 1, w - 1)]:
+        np.testing.assert_allclose(xy[i, j], [xs[j], ys[i]], atol=1e-7)
+
+    xt = np.asarray(g["xt"]).reshape(t, w, 2)
+    for i, j in [(0, 0), (2, 4), (t - 1, w - 1)]:
+        np.testing.assert_allclose(xt[i, j], [ts[i], xs[j]], atol=1e-7)
+
+    yt = np.asarray(g["yt"]).reshape(t, h, 2)
+    for i, j in [(0, 0), (1, 2), (t - 1, h - 1)]:
+        np.testing.assert_allclose(yt[i, j], [ts[i], ys[j]], atol=1e-7)
