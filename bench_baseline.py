@@ -110,6 +110,9 @@ def baseline_fields(value_per_sec, flops, eager_ops=None, note=""):
             f" {walls}; reference publishes no throughput"
             + (f"; {note}" if note else "")
         ),
+        # both readings, explicitly: beats the point estimate, and beats the
+        # TOP of the uncertainty range (the strict rule bench.py uses)
+        "point_estimate_met": bool(value_per_sec >= point),
         "target": round(hi, 4),
         "target_met": bool(value_per_sec >= hi),
     }

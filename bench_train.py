@@ -96,6 +96,12 @@ def _setup(exp, path, mutate_loss=None, perceptual=Ellipsis):
     cfg = load_config(path)
     object.__setattr__(cfg, "exp", exp)
     object.__setattr__(cfg.data, "dataset", "synthetic")
+    # DDMI_REMAT=enc|dec|all: rerun VAE ResnetBlock internals on the
+    # backward instead of saving activations (nn/vae.py::_res_block) —
+    # the round-5 image-s1 "reshape the work" A/B lever.
+    remat = os.environ.get("DDMI_REMAT", "")
+    if remat:
+        cfg.model.ddconfig.extra["remat"] = remat
     if mutate_loss:
         lc = dataclasses.replace(cfg.model.lossconfig, **mutate_loss)
         object.__setattr__(cfg.model, "lossconfig", lc)

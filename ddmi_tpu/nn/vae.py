@@ -133,6 +133,36 @@ class Upsample(nn.Module):
         return x
 
 
+def _res_block(c: DDConfig, which: str, out_ch: int, h, deterministic: bool):
+    """One ResnetBlock application, optionally under jax.checkpoint.
+
+    `ddconfig.extra['remat'] in ('enc'|'dec'|'all')` reruns the block's
+    internals on the backward pass instead of saving its activations — a
+    fusion-granularity / HBM-traffic experiment lever (BASELINE.md round-5
+    image-s1 "reshape the work" A/B), OFF by default.  Parameter names are
+    unchanged (flax lifted transform), so checkpoints are layout-compatible
+    either way."""
+    if c.extra.get("remat", "") in ("all", which):
+        assert c.dropout == 0.0, "remat path assumes dropout=0 (prod configs)"
+        return _remat_resblock()(out_ch, 0.0)(h)
+    return ResnetBlock(out_ch, c.dropout)(h, deterministic=deterministic)
+
+
+_REMAT_RESBLOCK = None
+
+
+def _remat_resblock():
+    global _REMAT_RESBLOCK
+    if _REMAT_RESBLOCK is None:
+        cls = nn.remat(ResnetBlock, prevent_cse=False)
+        # Keep flax auto-naming (and therefore checkpoint param paths)
+        # identical to the non-remat path: flax names instances from
+        # cls.__name__, which nn.remat prefixes with "Checkpoint".
+        cls.__name__ = "ResnetBlock"
+        _REMAT_RESBLOCK = cls
+    return _REMAT_RESBLOCK
+
+
 def _make_attn(ch: int, attn_type: str):
     """The reference make_attn enum (autoencoder_unet.py:546-553): vanilla /
     vanilla-multihead / linear / none (None = caller skips the block)."""
@@ -160,18 +190,18 @@ class Encoder(nn.Module):
         for i_level in range(num_resolutions):
             block_out = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks):
-                h = ResnetBlock(block_out, c.dropout)(h, deterministic=deterministic)
+                h = _res_block(c, "enc", block_out, h, deterministic)
                 if curr_res in c.attn_resolutions:
                     h = _make_attn(block_out, c.attn_type)(h)
             if i_level != num_resolutions - 1:
                 h = Downsample()(h)
                 curr_res //= 2
 
-        h = ResnetBlock(h.shape[-1], c.dropout)(h, deterministic=deterministic)
+        h = _res_block(c, "enc", h.shape[-1], h, deterministic)
         attn = _make_attn(h.shape[-1], c.attn_type)
         if attn is not None:
             h = attn(h)
-        h = ResnetBlock(h.shape[-1], c.dropout)(h, deterministic=deterministic)
+        h = _res_block(c, "enc", h.shape[-1], h, deterministic)
 
         h = Norm()(h)
         h = nonlinearity(h)
@@ -197,16 +227,16 @@ class Decoder(nn.Module):
         block_in = c.ch * c.ch_mult[num_resolutions - 1]
         h = nn.Conv(block_in, (3, 3), padding=1, name="conv_in")(z)
 
-        h = ResnetBlock(block_in, c.dropout)(h, deterministic=deterministic)
+        h = _res_block(c, "dec", block_in, h, deterministic)
         attn = _make_attn(block_in, c.attn_type)
         if attn is not None:
             h = attn(h)
-        h = ResnetBlock(block_in, c.dropout)(h, deterministic=deterministic)
+        h = _res_block(c, "dec", block_in, h, deterministic)
 
         for i_level in reversed(range(num_resolutions)):
             block_out = c.ch * c.ch_mult[i_level]
             for i_block in range(c.num_res_blocks + 1):
-                h = ResnetBlock(block_out, c.dropout)(h, deterministic=deterministic)
+                h = _res_block(c, "dec", block_out, h, deterministic)
                 if curr_res in c.attn_resolutions:
                     h = _make_attn(block_out, c.attn_type)(h)
             if curr_res in c.hdbf_resolutions:

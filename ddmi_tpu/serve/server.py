@@ -137,8 +137,17 @@ class SamplerService:
             self.res = int(resolution or cfg.data.test_resolution)
             self._noise_shape = (u.image_size, u.image_size, u.channels)
 
-        s1_init = pipe.init_stage1(jax.random.PRNGKey(0), 1)
-        s2_init = pipe.init_stage2(jax.random.PRNGKey(0), 1)
+        # Init + restore on HOST memory: the restore template is the FULL
+        # train state (params + EMA + Adam moments + SN buffers), which for
+        # the big stage-2 configs does not fit a single chip's HBM
+        # (docs/SCALING.md: celebahq stage-2 trains with fsdp: 2) — and
+        # serving only needs params/EMA.  First bench_serve run OOM'd the
+        # chip exactly here (round 5); only the serving params are moved to
+        # the accelerator, below, after the bf16 cast halves them.
+        _cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(_cpu):
+            s1_init = pipe.init_stage1(jax.random.PRNGKey(0), 1)
+            s2_init = pipe.init_stage2(jax.random.PRNGKey(0), 1)
         self.initialized = False  # True = serving untrained init params
         try:
             s1 = CheckpointManager(cfg.data.save_pth, prefix="stage1").restore(
@@ -172,6 +181,11 @@ class SamplerService:
             }
             s1_params = _bf16(s1_params)
         del s1, s2
+        # move ONLY the serving params to the accelerator (init/restore
+        # above live on host memory — see the OOM note)
+        _dev = jax.devices()[0]
+        ldm_params = jax.device_put(ldm_params, _dev)
+        s1_params = jax.device_put(s1_params, _dev)
 
         batch = self.batch
         res = self.res

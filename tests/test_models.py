@@ -218,3 +218,45 @@ def test_fast_group_norm_matches_flax(np_rng):
     assert fb.dtype == jnp.bfloat16 or fb.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(fb, np.float32), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_vae_remat_identity():
+    """ddconfig.extra['remat'] (the round-5 image-s1 fusion/HBM A/B lever,
+    nn/vae.py::_res_block) must be a pure scheduling change: identical
+    param tree, bit-identical loss AND gradients vs the default path."""
+    import dataclasses
+
+    import numpy as np
+
+    from ddmi_tpu.core.config import DDConfig
+    from ddmi_tpu.nn.vae import Autoencoder
+
+    base = DDConfig(
+        z_channels=32, resolution=32, in_channels=3, out_ch=16, ch=32,
+        ch_mult=(1, 2), num_res_blocks=1, hdbf_resolutions=(16,),
+    )
+    rem = dataclasses.replace(base, extra={"remat": "all"})
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 3))
+        .astype(np.float32)
+    )
+    m0, m1 = Autoencoder(base, embed_dim=8), Autoencoder(rem, embed_dim=8)
+    p0 = m0.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    p1 = m1.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(
+        p1
+    ), "remat changed the parameter tree (checkpoint layout breakage)"
+
+    def loss(m, p):
+        dec, post = m.apply(p, x, jax.random.PRNGKey(2))
+        return sum(jnp.sum(d**2) for d in dec) + jnp.sum(post.kl())
+
+    l0 = float(jax.jit(lambda p: loss(m0, p))(p0))
+    l1 = float(jax.jit(lambda p: loss(m1, p))(p0))
+    assert l0 == l1, (l0, l1)
+    g0 = jax.jit(jax.grad(lambda p: loss(m0, p)))(p0)
+    g1 = jax.jit(jax.grad(lambda p: loss(m1, p)))(p0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
