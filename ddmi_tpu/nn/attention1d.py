@@ -34,16 +34,29 @@ def tiered_attention(q, k, v):
     decomposition, bench_video_decompose.py); flash-under-training A/B in
     BASELINE.md "Training roofline" (DDMI_NO_FLASH_1D flips it back)."""
     n, hd = q.shape[-2], q.shape[-1]
-    on_tpu = jax.default_backend() == "tpu"
+    from ddmi_tpu.ops.platform import on_tpu as _on_tpu
+
+    on_tpu = _on_tpu()
     if on_tpu and vmem_attn.is_inference() and vmem_attn.supported(n, hd):
         return vmem_attn.mha_vmem(q, k, v, hd**-0.5)
     from ddmi_tpu.nn.unet import FLASH_BLOCK, FLASH_MIN_TOKENS
 
     blk = min(n, FLASH_BLOCK)
+    # Training-mode token cap (round 5): differentiating the flash kernel at
+    # the video decoder's 73,728-token attention crashes the TPU compile
+    # service (tpu_compile_helper exit 1 — the backward's dq/dkv kernels at
+    # a 144x144 block grid; the program's MLIR itself is a clean 6.5 MB, so
+    # this is compiler-side resource exhaustion, not payload).  Sampling is
+    # unaffected (the 73k forward-only flash compiles and is the measured
+    # round-3 win), so the cap applies only outside inference mode; above it
+    # training falls back to the chunked MEA path.  DDMI_FLASH_TRAIN_MAX
+    # overrides for A/B.
+    train_max = int(os.environ.get("DDMI_FLASH_TRAIN_MAX", "32768"))
     if (
         on_tpu
         and not os.environ.get("DDMI_NO_FLASH_1D")  # on-chip A/B switch
         and n >= FLASH_MIN_TOKENS
+        and (vmem_attn.is_inference() or n <= train_max)
         and n % blk == 0
         # hd < 128 underuses MXU lanes but flash still wins by never
         # materializing the n^2 fp32 scores in HBM (0.5 GB per ds1

@@ -138,7 +138,9 @@ class AttentionBlock(nn.Module):
             C, kernel_init=nn.initializers.zeros, dtype=self.dtype,
             name="proj_out",
         )
-        on_tpu = jax.default_backend() == "tpu"
+        from ddmi_tpu.ops.platform import on_tpu as _on_tpu
+
+        on_tpu = _on_tpu()
         if (
             on_tpu
             and vmem_attn.is_inference()

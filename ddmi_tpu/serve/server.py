@@ -189,29 +189,39 @@ class SamplerService:
 
         batch = self.batch
         res = self.res
+        # Params are threaded into every jitted program as ARGUMENTS, never
+        # closed over: captured constants are embedded in the lowered
+        # payload (~2.1 GB for the celebahq stage-2 weights), which bloats
+        # compile memory and, on remote-compile setups, ships the weights
+        # with every compile RPC — round 5's serve bench broke the compile
+        # tunnel exactly this way (same lesson as evals/lpips.py round 4).
         if self.domain == "video":
-            self._sample = jax.jit(
-                lambda r, noise: pipe.sample_videos(
-                    ldm_params, s1_params, r, batch=batch, noise=noise
+            _sample_jit = jax.jit(
+                lambda lp, sp, r, noise: pipe.sample_videos(
+                    lp, sp, r, batch=batch, noise=noise
                 )
+            )
+            self._sample = lambda r, noise: _sample_jit(
+                ldm_params, s1_params, r, noise
             )
         elif self.domain == "occupancy":
             # device: DDIM latents only; mesh extraction stays host-side
             # (MISE octree <-> padded point batches through ONE compiled
             # eval program shared by every request)
-            self._sample = jax.jit(
-                lambda r, noise: pipe.sample_latents(
-                    ldm_params, r, batch, noise=noise
+            _lat_jit = jax.jit(
+                lambda lp, r, noise: pipe.sample_latents(
+                    lp, r, batch, noise=noise
                 )
             )
-            self._decode_pyr = jax.jit(
-                lambda z1: pipe.decode_pyramids(s1_params, z1)
+            self._sample = lambda r, noise: _lat_jit(ldm_params, r, noise)
+            _dec_jit = jax.jit(
+                lambda sp, z1: pipe.decode_pyramids(sp, z1)
             )
-            self._eval_pts = jax.jit(
-                lambda pyr, pts: pipe.logits_from_pyramids(
-                    s1_params, pts, pyr
-                )
+            self._decode_pyr = lambda z1: _dec_jit(s1_params, z1)
+            _eval_jit = jax.jit(
+                lambda sp, pyr, pts: pipe.logits_from_pyramids(sp, pts, pyr)
             )
+            self._eval_pts = lambda pyr, pts: _eval_jit(s1_params, pyr, pts)
             # stable (points, pyramids) adapter so refine_mesh's memoized
             # runner compiles once per server, not once per mesh
             self._refine_fn = lambda pts, pyr: self._eval_pts(pyr, pts)
@@ -227,8 +237,8 @@ class SamplerService:
             # re-trace the renderer every call): DDIM latents for the whole
             # coalesced batch, then the per-scene camera-path render
             sample_lat = jax.jit(
-                lambda r, noise: pipe.sample_latents(
-                    ldm_params, r, batch, noise=noise
+                lambda lp, r, noise: pipe.sample_latents(
+                    lp, r, batch, noise=noise
                 )
             )
             render = jax.jit(pipe.render_camera_path, static_argnums=(4, 5))
@@ -236,7 +246,7 @@ class SamplerService:
 
             def _sample_nerf(r, noise):
                 rs, rr = jax.random.split(r)
-                z = sample_lat(rs, noise)
+                z = sample_lat(ldm_params, rs, noise)
                 return jnp.stack([
                     render(s1_params, z[b : b + 1], rr, poses, res, res)
                     for b in range(batch)
@@ -244,11 +254,13 @@ class SamplerService:
 
             self._sample = _sample_nerf
         else:
-            self._sample = jax.jit(
-                lambda r, noise: pipe.sample_images(
-                    ldm_params, s1_params, r, batch=batch, resolution=res,
-                    noise=noise,
+            _img_jit = jax.jit(
+                lambda lp, sp, r, noise: pipe.sample_images(
+                    lp, sp, r, batch=batch, resolution=res, noise=noise
                 )
+            )
+            self._sample = lambda r, noise: _img_jit(
+                ldm_params, s1_params, r, noise
             )
 
         self._queue: collections.deque = collections.deque()
