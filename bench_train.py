@@ -102,6 +102,11 @@ def _setup(exp, path, mutate_loss=None, perceptual=Ellipsis):
     remat = os.environ.get("DDMI_REMAT", "")
     if remat:
         cfg.model.ddconfig.extra["remat"] = remat
+    # DDMI_BENCH_BATCH: batch-size override for the round-5 s1 batch sweep
+    # (non-default batches are visible in the printed "batch" field).
+    bs = os.environ.get("DDMI_BENCH_BATCH", "")
+    if bs:
+        object.__setattr__(cfg.data, "batch_size", int(bs))
     if mutate_loss:
         lc = dataclasses.replace(cfg.model.lossconfig, **mutate_loss)
         object.__setattr__(cfg.model, "lossconfig", lc)

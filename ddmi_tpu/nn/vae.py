@@ -154,7 +154,12 @@ _REMAT_RESBLOCK = None
 def _remat_resblock():
     global _REMAT_RESBLOCK
     if _REMAT_RESBLOCK is None:
-        cls = nn.remat(ResnetBlock, prevent_cse=False)
+        # prevent_cse=True (the jax.checkpoint default) is REQUIRED here:
+        # these blocks are not inside a scan, and with CSE allowed XLA
+        # eliminates the recompute entirely — measured round 5: the
+        # prevent_cse=False variant compiled to the bit-identical program
+        # (same 732.4 ms, same cost analysis) as no-remat.
+        cls = nn.remat(ResnetBlock)
         # Keep flax auto-naming (and therefore checkpoint param paths)
         # identical to the non-remat path: flax names instances from
         # cls.__name__, which nn.remat prefixes with "Checkpoint".
