@@ -156,9 +156,14 @@ def main():
                     "met": bool(
                         samples_per_sec_per_chip >= TARGET_POD_2X_A100_PER_CHIP
                     ),
-                    "note": "DP generation over the mesh data axis, zero "
-                    "collectives; linearity tested on the 8-device virtual "
-                    "mesh (tests/test_fsdp_trainer.py)",
+                    "note": "PROJECTION from the per-chip measurement (one "
+                    "real chip): DP generation over the mesh data axis. "
+                    "Evidence: bench_dp_scaling.py measured the compiled "
+                    "sharded program at n=1/2/4/8 virtual devices — ZERO "
+                    "collectives in the HLO at every n and per-device wall "
+                    "within [0.98,1.28]x of perfect CPU-mesh linearity "
+                    "(BASELINE.md 'DP scaling curve'); this validates "
+                    "program structure, NOT ICI bandwidth",
                 },
             }
         )
