@@ -141,6 +141,19 @@ def main():
         lambda m, p, o, d: pipe.render_rays(m, p, o, d, jax.random.PRNGKey(0),
                                             perturb=0.0)
     )
+    # DDMI_NERF_DEC_INFER=1: trace the tile under inference_mode so the
+    # fused VMEM NeRF-MLP kernel dispatches (ops/pallas/nerf_mlp.py) —
+    # kernel-level A/B without the full bench_3d compile.
+    if os.environ.get("DDMI_NERF_DEC_INFER"):
+        from ddmi_tpu.ops.pallas import attention as vmem_attn
+
+        with vmem_attn.inference_mode():
+            dt = _time(tile_full, mp, planes, ro, rd)
+        _report(
+            f"tile-full-FUSED ({RAY_CHUNK} rays x {pipe.n_samples}, "
+            f"block={os.environ.get('DDMI_NERF_FUSED_BLOCK', '4096')})", dt
+        )
+        return
     dt = _time(tile_full, mp, planes, ro, rd)
     fl, hb = _cost(
         lambda m, p, o, d: pipe.render_rays(m, p, o, d, jax.random.PRNGKey(0),

@@ -38,6 +38,7 @@ from ddmi_tpu.nn.inr import FreqEmbedding, INRNeRF
 from ddmi_tpu.nn.pointnet import LocalPoolPointnet
 from ddmi_tpu.nn.triplane_vae import TriplaneAutoencoder
 from ddmi_tpu.nn.unet import UNet
+from ddmi_tpu.ops.pallas import attention as vmem_attn
 from ddmi_tpu.ops.grid_sample import grid_sample_2d
 
 # srn-cars camera intrinsics (tools/d2c_vae/nerf.py:174-177)
@@ -172,9 +173,47 @@ class NeRFPipeline:
 
     # ----------------------------------------------------------- render core
 
+    def _fused_mlp_gate(self) -> bool:
+        """Fused VMEM NeRF-MLP dispatch (ops/pallas/nerf_mlp.py): TPU,
+        forward-only traces, kernel-supported width.
+
+        OPT-IN (DDMI_FUSED_NERF=1), default OFF: the round-5 on-chip A/B
+        measured the kernel LOSING to XLA's pipeline — 121.8 ms vs 83.6 ms
+        per 4096-ray tile, block-size invariant (1024/2048/3072), i.e.
+        bound by its own serial per-block matmul chain; XLA overlaps the
+        layer matmuls across the tile better than the VMEM-residency model
+        predicted (the 117% cost-analysis HBM figure was an upper bound
+        that real fusion already beat).  Full table in BASELINE.md.  Kept
+        as measured groundwork: a future version needs cross-block matmul
+        pipelining (grid-level double buffering of h), not more VMEM."""
+        import os as _os
+
+        from ddmi_tpu.ops.platform import on_tpu as _on_tpu
+
+        return (
+            bool(_os.environ.get("DDMI_FUSED_NERF"))
+            and _on_tpu()
+            and vmem_attn.is_inference()
+            and self.mlp.width == 256
+        )
+
+    def _fold_for_sampling(self, mlp_params):
+        """FoldedNeRF weights when the fused path is active, else None.
+        Callers that tile rays (render_image's lax.map) fold ONCE out here
+        instead of per tile inside the map body."""
+        if not self._fused_mlp_gate():
+            return None
+        from ddmi_tpu.ops.pallas.nerf_mlp import fold_nerf_params
+
+        return fold_nerf_params(
+            mlp_params, self.mlp.depth, self.mlp.width,
+            self.mlp.in_channels_xyz, self.mlp.in_channels_dir,
+            self.mlp.skips,
+        )
+
     def render_rays(
         self, mlp_params, planes, rays_o, rays_d, rng,
-        perturb: Optional[float] = None,
+        perturb: Optional[float] = None, folded=None,
     ):
         """rays_o/d (n, 3) -> rgb (n, 3)."""
         n = rays_o.shape[0]
@@ -204,7 +243,24 @@ class NeRFPipeline:
         # quantize grid coords and transmittance products.
         p_dtype = jax.tree_util.tree_leaves(mlp_params)[0].dtype
         x = jnp.concatenate([feat, e_xyz, e_dir], -1).astype(p_dtype)
-        raw = self.mlp.apply({"params": mlp_params}, x).astype(jnp.float32)
+        # Sampling/eval on TPU: run the WHOLE INRNeRF out of VMEM per point
+        # tile (ops/pallas/nerf_mlp.py) — XLA runs it as ~11 HBM-round-trip
+        # matmuls and the render tile sits at the HBM wall (117% of
+        # cost-analysis bytes, BASELINE.md round-5 NeRF decomposition).
+        # Forward-only kernel, so gated on inference_mode like the VMEM
+        # attention; DDMI_NO_FUSED_NERF flips the on-chip A/B.
+        if folded is None and self._fused_mlp_gate():
+            folded = self._fold_for_sampling(mlp_params)
+        if folded is not None:
+            from ddmi_tpu.ops.pallas.nerf_mlp import nerf_mlp_fused
+
+            raw = nerf_mlp_fused(
+                folded, x.reshape(n * self.n_samples, -1)
+            ).reshape(n, self.n_samples, 4)
+        else:
+            raw = self.mlp.apply({"params": mlp_params}, x).astype(
+                jnp.float32
+            )
         rgb, _, _ = raw2outputs(raw, z, rays_d, self.white_bkgd)
         return rgb
 
@@ -443,11 +499,14 @@ class NeRFPipeline:
         rd = jnp.pad(rd, ((0, pad), (0, 0)))
         chunks = (n + pad) // ray_chunk
         rngs = jax.random.split(rng, chunks)
+        # fold the fused-kernel weights ONCE per image, not per map tile
+        folded = self._fold_for_sampling(stage1_params["mlp"])
 
         def render(args):
             o, d, r = args
             return self.render_rays(
-                stage1_params["mlp"], planes, o, d, r, perturb=0.0
+                stage1_params["mlp"], planes, o, d, r, perturb=0.0,
+                folded=folded,
             )
 
         rgb = jax.lax.map(
@@ -503,12 +562,17 @@ class NeRFPipeline:
         Stable method (not a per-call closure) so callers can
         `jax.jit(pipe.render_camera_path, static_argnums=(4, 5))` ONCE and
         hit the trace cache across requests — the serving layer does."""
-        planes = self.decode_planes(stage1_params, z1)
+        # generation is a forward-only trace: enables the fused VMEM NeRF
+        # MLP in render_rays (and any inference-only attention tiers)
+        with vmem_attn.inference_mode():
+            planes = self.decode_planes(stage1_params, z1)
 
-        def one(pose):
-            return self.render_image(stage1_params, planes, pose, H, W, rng)
+            def one(pose):
+                return self.render_image(
+                    stage1_params, planes, pose, H, W, rng
+                )
 
-        return jax.lax.map(one, poses)
+            return jax.lax.map(one, poses)
 
     def sample_nerfs(self, ldm_params, stage1_params, rng, batch: int,
                      n_views: int = 8, H: int = 128, W: int = 128,
